@@ -1,0 +1,87 @@
+"""Headline benchmark: DLRM (Criteo-scale) training throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "dlrm_train_examples_per_s", "value": N, "unit": "examples/s/chip",
+   "vs_baseline": N}
+
+Baseline context: the reference publishes no DLRM throughput; its only
+training-throughput numbers are DIN ~470 ex/s on a V100 (`dien/logs/din.log`)
+and PinSage ~690 ex/s (`pinsage/train/logs/log.jpg`). ``vs_baseline`` is
+computed against 470 ex/s — the reference's best published *model-zoo*
+training throughput — as examples/s/chip ratio. Apples-to-oranges across
+models, but it is the only throughput the reference ever measured; the
+real target is the BASELINE.json north star (ex/s/chip + scaling).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.data.synthetic import SyntheticCTR
+from recommender_tpu.models.dlrm import DLRM
+from recommender_tpu.models.tasks import init_model, make_ctr_task
+from recommender_tpu.parallel.partitioning import param_shardings
+
+REFERENCE_BEST_EXAMPLES_PER_S = 470.0  # DIN on V100, dien/logs/din.log
+
+BATCH = 8192
+VOCAB = 1_000_000  # ctr/train.py:64-65 table size
+STEPS = 100
+WARMUP = 10
+
+
+def _sync(x) -> float:
+    """Force completion via a D2H fetch — ``block_until_ready`` can return
+    early on the axon-relay platform, a scalar fetch cannot."""
+    return float(x)
+
+
+def main():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(MeshSpec(data=n_dev, model=1))
+    model = DLRM(vocab_size=VOCAB, embed_dim=16)
+    gen = SyntheticCTR(vocab_size=VOCAB, seed=0)
+    host = gen.sample(BATCH, seed=1)
+
+    loss_fn, eval_fn = make_ctr_task(model)
+    cfg = TrainConfig(learning_rate=1e-3, log_every=10**9, eval_every=0)
+    example = {k: v[:8] for k, v in host.items()}
+    variables = model.init(jax.random.PRNGKey(0), example)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = Trainer(loss_fn, cfg, mesh=mesh, param_shardings=pshard, eval_fn=eval_fn)
+    state = trainer.init_state(lambda: init_model(model, example))
+
+    batch = trainer.put_batch(host)
+    rng = jax.random.PRNGKey(0)
+    step = trainer._train_step
+    # warmup / compile
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, rng)
+    _sync(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch, rng)
+    _sync(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ex_per_s = BATCH * STEPS / dt / max(n_dev, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dlrm_train_examples_per_s",
+                "value": round(ex_per_s, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(ex_per_s / REFERENCE_BEST_EXAMPLES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

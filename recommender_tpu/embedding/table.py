@@ -1,0 +1,76 @@
+"""Embedding tables.
+
+Replaces ``keras.layers.Embedding`` everywhere the reference uses it
+(``ctr/model.py:10,42``, ``dien/model.py:11-12``, ``esmm/base.py:9-11``,
+``eges/model.py:20-102``, ``pinsage/train/layers.py:49-81``).
+
+Design notes (TPU-first):
+* The table is a plain f32 param; lookups cast activations to bf16 only
+  downstream (gathers are bandwidth-bound; the table dtype is the knob).
+* ``partition="model"`` attaches flax partitioning metadata so the
+  parallel rules row-shard the table over the ``model`` mesh axis; under
+  ``jit`` XLA/GSPMD then compiles the gather into the canonical
+  masked-local-gather + all-reduce exchange, and the scatter-add gradient
+  lands shard-local. ``recommender_tpu.embedding.sharded`` provides the
+  explicit ``shard_map`` path used when manual control of the collective
+  schedule (or the Pallas kernel) is wanted.
+* ``mask_zero`` parity: row 0 is the pad/OOV bucket by convention
+  (``dien/model.py:11``, ``eges/data_loader.py:8-9``); masks are computed
+  by callers as ``ids != 0`` — the table itself never masks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingSpec:
+    """Declarative spec used by planners/checkpointing."""
+
+    name: str
+    vocab_size: int
+    features: int
+    combiner: Optional[str] = None  # None | 'sum' | 'mean'
+    sharded: bool = False
+
+
+class Embedding(nn.Module):
+    vocab_size: int
+    features: int
+    partition: Optional[str] = None  # None → replicated; "model" → row-sharded
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform", out_axis=0)
+        if self.partition is not None:
+            init = nn.with_partitioning(init, (self.partition, None))
+        table = self.param(
+            "embedding", init, (self.vocab_size, self.features), self.param_dtype
+        )
+        table = jnp.asarray(table)  # unbox partitioned param
+        return jnp.take(table, ids, axis=0)
+
+    def attend(self, query: jnp.ndarray) -> jnp.ndarray:
+        """Score query against all rows (sampled-softmax / retrieval path)."""
+        table = jnp.asarray(self.variables["params"]["embedding"])
+        return jnp.dot(query, table.T)
+
+
+def bag_combine(emb: jnp.ndarray, weights: jnp.ndarray, combiner: str) -> jnp.ndarray:
+    """Combine a bag of embeddings [..., K, D] with weights [..., K] → [..., D].
+
+    ``mean`` divides by the weight sum clipped to >= 1 (multi-hot pooling as in
+    ``pinsage/train/layers.py:76-78``).
+    """
+    w = weights.astype(emb.dtype)[..., None]
+    s = jnp.sum(emb * w, axis=-2)
+    if combiner == "sum":
+        return s
+    if combiner == "mean":
+        return s / jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+    raise ValueError(f"unknown combiner {combiner}")

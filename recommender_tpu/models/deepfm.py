@@ -1,0 +1,45 @@
+"""DeepFM — FM second-order cross + deep tower over a shared embedding.
+
+Behavioral parity with ``/root/reference/ctr/model.py:6-31``:
+* one shared table for all categorical features;
+* FM 2nd-order term via the sum-square/square-sum identity
+  (``ctr/model.py:21-23``; no 1st-order linear term, as in the reference);
+* deep tower on [flattened embeddings ∥ 13 dense ints];
+* output = sigmoid(fm + deep).
+
+Hidden activations are ReLU (see divergence note in ``dlrm.py``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recommender_tpu.embedding.table import Embedding
+from recommender_tpu.nn.interactions import fm_cross
+from recommender_tpu.nn.mlp import MLP
+
+
+class DeepFM(nn.Module):
+    vocab_size: int
+    embed_dim: int = 16
+    num_int: int = 13
+    num_cat: int = 26
+    mlp_units: Sequence[int] = (512, 256, 1)
+    partition: Optional[str] = None
+
+    def setup(self):
+        self.embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.mlp = MLP(self.mlp_units, final_activation=None)
+
+    def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
+        ints = batch["int_features"].reshape(-1, self.num_int)
+        cats = batch["cat_features"].reshape(-1, self.num_cat)
+        emb = self.embedding(cats)  # [B, F, D]
+        fm = fm_cross(emb)  # [B]
+        deep_in = jnp.concatenate(
+            [emb.reshape(emb.shape[0], -1), ints], axis=1
+        )
+        deep = jnp.squeeze(self.mlp(deep_in, train=train), axis=-1)  # [B]
+        return nn.sigmoid(fm + deep)

@@ -1,0 +1,55 @@
+"""DLRM — dense-bottom MLP + sharded embeddings + dot interaction + top MLP.
+
+Behavioral parity with ``/root/reference/ctr/model.py:34-58``:
+* single shared embedding table over all 26 categorical features;
+* bottom MLP on the 13 dense ints, its output treated as a 27th embedding
+  (``ctr/model.py:51-52``);
+* DotInteraction(self_interaction=False, skip_gather=True) → dense
+  ``(26+1)^2`` output (``ctr/model.py:55`` top-MLP width contract);
+* top MLP on [interaction ∥ bottom-MLP output] → sigmoid prob.
+
+Deliberate divergence (documented per SURVEY.md §7): the reference's
+``ctr/layers.py:5-14`` MLP has **linear** hidden layers (keras Dense default);
+we use ReLU hidden activations as in the DLRM paper — strictly more
+expressive, parity target is AUC, not bug-for-bug math.
+
+TPU notes: the embedding table may be row-sharded over the ``model`` mesh
+axis (``partition='model'``); interaction + MLPs are bf16 on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recommender_tpu.embedding.table import Embedding
+from recommender_tpu.nn.interactions import DotInteraction
+from recommender_tpu.nn.mlp import MLP
+
+
+class DLRM(nn.Module):
+    vocab_size: int
+    embed_dim: int = 16
+    num_int: int = 13
+    num_cat: int = 26
+    bottom_units: Sequence[int] = (512, 256, 64, 16)
+    top_units: Sequence[int] = (512, 256, 1)
+    partition: Optional[str] = None  # 'model' → row-sharded table
+
+    def setup(self):
+        self.embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.bottom_mlp = MLP(self.bottom_units, final_activation=nn.relu)
+        self.top_mlp = MLP(self.top_units, final_activation=nn.sigmoid)
+        self.interaction = DotInteraction(self_interaction=False, skip_gather=True)
+
+    def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
+        ints = batch["int_features"].reshape(-1, self.num_int)
+        cats = batch["cat_features"].reshape(-1, self.num_cat)
+        cat_emb = self.embedding(cats)  # [B, 26, D]
+        bottom = self.bottom_mlp(ints, train=train)  # [B, D]
+        feats = jnp.concatenate([cat_emb, bottom[:, None, :]], axis=1)  # [B, 27, D]
+        inter = self.interaction(feats)  # [B, 27*27]
+        top_in = jnp.concatenate([inter, bottom], axis=1)
+        prob = self.top_mlp(top_in, train=train)
+        return jnp.squeeze(prob, axis=-1)
