@@ -59,17 +59,24 @@ class SyntheticSequence:
     separate them.
     """
 
-    num_items: int = 5000
-    num_cats: int = 200
+    num_items: int = 1000
+    num_cats: int = 50
     max_len: int = 20
-    num_topics: int = 16
+    num_topics: int = 8
     seed: int = 0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         self.item_topic = rng.integers(0, self.num_topics, size=self.num_items)
         self.item_topic[0] = -1  # pad row
-        self.item_cat = rng.integers(1, self.num_cats, size=self.num_items).astype(np.int32)
+        # categories correlate with topics (as in real catalogues), so models
+        # can generalize topic-match structure instead of memorizing item ids
+        cats_per_topic = max((self.num_cats - 1) // self.num_topics, 1)
+        self.item_cat = (
+            1
+            + self.item_topic * cats_per_topic
+            + rng.integers(0, cats_per_topic, size=self.num_items)
+        ).astype(np.int32)
         self.item_cat[0] = 0
         # items grouped by topic for sampling
         self._by_topic = [

@@ -1,0 +1,119 @@
+"""Behavior-sequence CTR models: BASE (mean-pool), DIN, DIEN.
+
+Behavioral parity with ``/root/reference/dien/model.py:7-80``:
+* shared item + category embedding tables (``mask_zero`` parity: id 0 = pad,
+  masks are ``item_id != 0``), embeddings concatenated per step;
+* BASE: masked mean-pool of history ∥ target → MLP(sigmoid)
+  (``dien/model.py:24-34``);
+* DIN: LocalActivationUnit attention pooling (``dien/model.py:37-53``);
+* DIEN: masked GRU interest extractor + per-step auxiliary loss on
+  pos/neg next-item (``dien/layers.py:76-133``), bilinear attention
+  (``dien/layers.py:136-158``), AUGRU interest evolution
+  (``dien/layers.py:161-204``); returns ``(prob, aux_loss)``
+  (``dien/model.py:56-80``).
+
+The MLP applies BatchNorm to its input (``dien/layers.py:22``); both
+recurrences are single ``lax.scan``s with fused gate matmuls
+(SURVEY.md §3.2 "On TPU these become lax.scans").
+
+Batch schema (``dien/data_loader.py:35-63``): target_item, target_cat,
+pos_his_item, pos_his_cat, [neg_his_item, neg_his_cat], label; histories
+post-padded with 0 to a fixed max length.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recommender_tpu.embedding.table import Embedding
+from recommender_tpu.nn.losses import masked_auxiliary_loss
+from recommender_tpu.nn.mlp import MLP
+from recommender_tpu.nn.recurrent import AUGRU, GRU
+from recommender_tpu.nn.sequence import (
+    AuxiliaryNet,
+    DIENAttention,
+    LocalActivationUnit,
+    masked_mean_pool,
+)
+
+
+class SequenceBase(nn.Module):
+    """Shared embeddings + helpers for the BASE/DIN/DIEN family."""
+
+    item_vocab: int
+    cat_vocab: int
+    item_dim: int = 18
+    cat_dim: int = 18
+    mlp_units: Sequence[int] = (200, 80, 1)
+    partition: Optional[str] = None
+
+    def setup(self):
+        self.item_embedding = Embedding(self.item_vocab, self.item_dim, partition=self.partition)
+        self.cat_embedding = Embedding(self.cat_vocab, self.cat_dim, partition=self.partition)
+        self.mlp = MLP(self.mlp_units, final_activation=nn.sigmoid, input_batch_norm=True)
+
+    def embed(self, item, cat):
+        return jnp.concatenate(
+            [self.item_embedding(item), self.cat_embedding(cat)], axis=-1
+        )
+
+    def head(self, target_emb, history_repr, train):
+        x = jnp.concatenate([target_emb, history_repr], axis=-1)
+        prob = self.mlp(x, train=train)
+        return jnp.squeeze(prob, axis=-1)
+
+
+class BaseModel(SequenceBase):
+    def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
+        mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
+        target = self.embed(batch["target_item"], batch["target_cat"])  # [B, D]
+        his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])  # [B, T, D]
+        pooled = masked_mean_pool(his, mask)
+        return self.head(target, pooled, train)
+
+
+class DIN(SequenceBase):
+    def setup(self):
+        super().setup()
+        self.local_activation_unit = LocalActivationUnit()
+
+    def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
+        mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
+        target = self.embed(batch["target_item"], batch["target_cat"])
+        his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])
+        pooled = self.local_activation_unit(target, his, mask)
+        return self.head(target, pooled, train)
+
+
+class DIEN(SequenceBase):
+    extract_hidden: int = 36
+    evolve_hidden: int = 36
+
+    def setup(self):
+        super().setup()
+        self.extract_gru = GRU(hidden=self.extract_hidden)
+        self.auxiliary_net = AuxiliaryNet()
+        self.attention = DIENAttention()
+        self.evolve = AUGRU(hidden=self.evolve_hidden)
+
+    def __call__(self, batch: dict, *, train: bool = False):
+        mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
+        target = self.embed(batch["target_item"], batch["target_cat"])  # [B, D]
+        pos_his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])
+        neg_his = self.embed(batch["neg_his_item"], batch["neg_his_cat"])
+
+        hidden = self.extract_gru(pos_his, mask)  # [B, T, H]
+        # auxiliary loss: h(t) vs pos/neg item at t+1 (dien/layers.py:89-108)
+        h_t = hidden[:, :-1, :]
+        pos_next = pos_his[:, 1:, :]
+        neg_next = neg_his[:, 1:, :]
+        pos_logits = self.auxiliary_net(jnp.concatenate([h_t, pos_next], axis=-1))
+        neg_logits = self.auxiliary_net(jnp.concatenate([h_t, neg_next], axis=-1))
+        aux_loss = masked_auxiliary_loss(pos_logits, neg_logits, mask[:, 1:])
+
+        score = self.attention(target, hidden, mask)  # [B, T, 1]
+        final = self.evolve(hidden, score, mask)  # [B, H]
+        prob = self.head(target, final, train)
+        return prob, aux_loss
