@@ -127,18 +127,21 @@ class SyntheticMultiTask:
 
     num_feats: int = 18
     vocab_sizes: tuple = ()
+    signal: float = 1.6
     seed: int = 0
 
     def __post_init__(self):
         if not self.vocab_sizes:
-            self.vocab_sizes = tuple([1000] * self.num_feats)
+            # small per-feature vocabs: every value is seen often enough that
+            # generalization beats memorization within a few hundred steps
+            self.vocab_sizes = tuple([50] * self.num_feats)
         rng = np.random.default_rng(self.seed)
         self._w_click = [
-            rng.normal(0, 0.8 / np.sqrt(self.num_feats), size=v).astype(np.float32)
+            rng.normal(0, self.signal / np.sqrt(self.num_feats), size=v).astype(np.float32)
             for v in self.vocab_sizes
         ]
         self._w_buy = [
-            rng.normal(0, 0.8 / np.sqrt(self.num_feats), size=v).astype(np.float32)
+            rng.normal(0, self.signal / np.sqrt(self.num_feats), size=v).astype(np.float32)
             for v in self.vocab_sizes
         ]
 

@@ -51,6 +51,55 @@ def make_ctr_task(model: nn.Module) -> tuple[Callable, Callable]:
     return loss_fn, eval_fn
 
 
+def make_multitask_task(model: nn.Module):
+    """ESMM/MMOE joint training: mean of BCE(ctr head, click) and
+    BCE(ctcvr head, purchase) — keras ``binary_crossentropy`` on the 2-dim
+    label averages the two heads (``esmm/train.py:100-103``)."""
+
+    def loss_fn(params, model_state, batch, rng, train):
+        heads, new_ms = _apply(model, params, model_state, batch, train)
+        l_ctr = binary_cross_entropy(heads["ctr"], batch["click"])
+        l_ctcvr = binary_cross_entropy(heads["ctcvr"], batch["purchase"])
+        per_ex = 0.5 * (l_ctr + l_ctcvr)
+        aux = {"ctr_loss": jnp.mean(l_ctr), "ctcvr_loss": jnp.mean(l_ctcvr)}
+        return per_ex, aux, new_ms
+
+    def eval_fn(params, model_state, batch):
+        heads, _ = _apply(model, params, model_state, batch, False)
+        return heads["ctcvr"], batch["purchase"]
+
+    return loss_fn, eval_fn
+
+
+def make_head_eval(model: nn.Module, head: str, label_key: str):
+    """Eval fn scoring one named head of a dict-output model against a label —
+    the ESMM protocol's CVR-on-clicks / CTCVR-on-impressions evals
+    (``esmm/train.py:114-127``)."""
+
+    def eval_fn(params, model_state, batch):
+        heads, _ = _apply(model, params, model_state, batch, False)
+        return heads[head], batch[label_key]
+
+    return eval_fn
+
+
+def evaluate_head(trainer, state, batches, head_eval_fn):
+    """Run a one-off AUC eval with a custom (scores, labels) fn."""
+    import jax as _jax
+
+    from recommender_tpu.core.metrics import AUCState, auc_from_state, auc_update
+
+    @_jax.jit
+    def step(params, model_state, batch, auc):
+        scores, labels = head_eval_fn(params, model_state, batch)
+        return auc_update(auc, scores, labels)
+
+    auc = AUCState.init()
+    for batch in batches:
+        auc = step(state.params, state.model_state, trainer.put_batch(batch), auc)
+    return float(auc_from_state(auc))
+
+
 def make_aux_loss_task(model: nn.Module, aux_weight: float = 1.0):
     """CTR where model returns (prob, per-example aux loss) — DIEN."""
 
