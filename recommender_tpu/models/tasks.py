@@ -100,6 +100,57 @@ def evaluate_head(trainer, state, batches, head_eval_fn):
     return float(auc_from_state(auc))
 
 
+def make_skipgram_task(model: nn.Module):
+    """EGES-family sampled-softmax training: model(batch) → logits [B, 1+k],
+    loss = sigmoid CE against ``batch['label']`` (``eges/train.py:14-23``)."""
+    from recommender_tpu.nn.losses import bce_with_logits
+
+    def loss_fn(params, model_state, batch, rng, train):
+        logits, new_ms = _apply(model, params, model_state, batch, train)
+        per_ex = jnp.mean(bce_with_logits(logits, batch["label"]), axis=-1)
+        return per_ex, {}, new_ms
+
+    def eval_fn(params, model_state, batch):
+        logits, _ = _apply(model, params, model_state, batch, False)
+        return jax.nn.sigmoid(logits.reshape(-1)), batch["label"].reshape(-1)
+
+    return loss_fn, eval_fn
+
+
+def link_prediction_auc(model: nn.Module, params, triples: dict, batch_size: int = 4096) -> float:
+    """EGES link-prediction protocol (``eges/train.py:26-40``): score held-out
+    edges and uniform negatives by sigmoid(hidden_q · hidden_x), AUC over
+    pos-vs-neg. Uses ``model.get_hidden`` on each role."""
+    import numpy as np
+
+    from recommender_tpu.core.metrics import AUCState, auc_from_state, auc_update
+
+    def hidden_for(role, batch):
+        sub = {"target": batch[role]}
+        for k, v in batch.items():
+            if k.startswith(f"{role}_"):
+                sub["target_" + k[len(role) + 1 :]] = v
+        return model.apply({"params": params}, sub, method=model.get_hidden)
+
+    @jax.jit
+    def score(batch):
+        q = hidden_for("query", batch)
+        p = hidden_for("pos", batch)
+        n = hidden_for("neg", batch)
+        pos = jax.nn.sigmoid(jnp.sum(q * p, axis=-1))
+        neg = jax.nn.sigmoid(jnp.sum(q * n, axis=-1))
+        return pos, neg
+
+    auc = AUCState.init()
+    total = len(triples["query"])
+    for s in range(0, total, batch_size):
+        batch = {k: jnp.asarray(v[s : s + batch_size]) for k, v in triples.items()}
+        pos, neg = score(batch)
+        auc = auc_update(auc, pos, jnp.ones_like(pos))
+        auc = auc_update(auc, neg, jnp.zeros_like(neg))
+    return float(auc_from_state(auc))
+
+
 def make_aux_loss_task(model: nn.Module, aux_weight: float = 1.0):
     """CTR where model returns (prob, per-example aux loss) — DIEN."""
 
