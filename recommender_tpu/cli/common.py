@@ -1,0 +1,59 @@
+"""Shared CLI plumbing for all model families.
+
+Replaces the per-script argparse duplication of the reference (SURVEY.md §1
+L7: ``ctr/train.py:12-19``, ``dien/train.py:70-82`` vs
+``dien/distribute_train.py:111-125``, etc.) with one flag set + one
+mesh/trainer bootstrap. Every entry point runs the same code from 1 chip to
+a (data × model) slice — there is no separate "distribute_train".
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--train_batch_size", type=int, default=1024)
+    p.add_argument("--test_batch_size", type=int, default=4096)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--eval_batches", type=int, default=0, help="0 = full pass")
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the built-in synthetic dataset (no files needed)")
+    return p
+
+
+def build_mesh(args):
+    n = len(jax.devices())
+    data = args.mesh_data or (n // args.mesh_model)
+    return make_mesh(MeshSpec(data=data, model=args.mesh_model))
+
+
+def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) -> Trainer:
+    cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        log_every=args.log_every,
+        eval_every=args.eval_every,
+        checkpoint_dir=args.checkpoint_dir or None,
+        checkpoint_every=args.checkpoint_every,
+        seed=args.seed,
+    )
+    return Trainer(loss_fn, cfg, mesh=mesh, param_shardings=param_shardings, eval_fn=eval_fn)
+
+
+def log_jsonl(metrics: dict):
+    print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v) for k, v in metrics.items()}), flush=True)

@@ -1,0 +1,81 @@
+"""CTR training entry: DLRM / DeepFM on Criteo (``ctr/train.py`` parity).
+
+Usage:
+  python -m recommender_tpu.cli.train_ctr --model_type DLRM --synthetic
+  python -m recommender_tpu.cli.train_ctr --model_type DeepFM \
+      --data_dir /path/to/criteo_shards --vocab /path/to/vocab.pkl
+"""
+from __future__ import annotations
+
+import glob
+
+import jax
+
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.data.criteo import load_shards, load_vocab, shard_batches
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.data.synthetic import SyntheticCTR
+from recommender_tpu.models.deepfm import DeepFM
+from recommender_tpu.models.dlrm import DLRM
+from recommender_tpu.models.tasks import init_model, make_ctr_task
+from recommender_tpu.parallel.partitioning import param_shardings
+
+
+def main(argv=None):
+    p = base_parser("TPU CTR training (DLRM/DeepFM)")
+    p.add_argument("--model_type", choices=["DLRM", "DeepFM"], default="DLRM")
+    p.add_argument("--vocab_size", type=int, default=1_000_000)
+    p.add_argument("--embedding_size", type=int, default=16)
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--vocab", type=str, default="")
+    args = p.parse_args(argv)
+
+    mesh = build_mesh(args)
+    partition = "model" if args.mesh_model > 1 else None
+    if args.model_type == "DLRM":
+        model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                     partition=partition)
+    else:
+        model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                       partition=partition)
+
+    if args.synthetic or not args.data_dir:
+        gen = SyntheticCTR(vocab_size=args.vocab_size, seed=args.seed)
+        train_arrays = gen.sample(max(args.steps, 100) * args.train_batch_size // 4, seed=1)
+        test_arrays = gen.sample(20 * args.test_batch_size, seed=2)
+        train_iter = batch_iterator(train_arrays, args.train_batch_size, seed=args.seed, epochs=None)
+        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+    else:
+        vocab = load_vocab(args.vocab)
+        shards = sorted(glob.glob(f"{args.data_dir}/train*/*.npz") or glob.glob(f"{args.data_dir}/shard_*.npz"))
+        test_shards = sorted(glob.glob(f"{args.data_dir}/test*/*.npz"))
+        train_iter = shard_batches(shards, args.train_batch_size, seed=args.seed, epochs=None)
+        test_arrays = load_shards(test_shards) if test_shards else None
+        eval_iter_fn = (
+            (lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False))
+            if test_arrays is not None else None
+        )
+
+    loss_fn, eval_fn = make_ctr_task(model)
+    example = next(train_iter)
+    variables = model.init(jax.random.PRNGKey(args.seed), example)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = build_trainer(args, loss_fn, eval_fn, mesh, pshard)
+    state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
+    if args.resume and args.checkpoint_dir:
+        state = trainer.restore(state)
+
+    state, _ = trainer.fit(
+        state, train_iter, steps=args.steps,
+        eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches,
+        log_fn=log_jsonl,
+    )
+    if eval_iter_fn is not None:
+        log_jsonl({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+    if args.checkpoint_dir:
+        trainer.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Behavior-sequence CTR entry: BASE / DIN / DIEN (``dien/train.py`` +
+``dien/distribute_train.py`` parity — one script, any mesh).
+
+Usage:
+  python -m recommender_tpu.cli.train_dien --model_type DIEN --synthetic
+  python -m recommender_tpu.cli.train_dien --model_type DIEN \
+      --train_file local_train_splitByUser --test_file local_test_splitByUser \
+      --vocab_dir ./data
+"""
+from __future__ import annotations
+
+import jax
+
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.data import amazon
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.data.synthetic import SyntheticSequence
+from recommender_tpu.models.dien import DIEN, DIN, BaseModel
+from recommender_tpu.models.tasks import init_model, make_aux_loss_task, make_ctr_task
+
+MODELS = {"BASE": BaseModel, "DIN": DIN, "DIEN": DIEN}
+
+
+def main(argv=None):
+    p = base_parser("TPU behavior-sequence CTR training (BASE/DIN/DIEN)")
+    p.add_argument("--model_type", choices=list(MODELS), default="DIEN")
+    p.add_argument("--embedding_size", type=int, default=18)
+    p.add_argument("--history_max_length", type=int, default=100)
+    p.add_argument("--train_file", type=str, default="")
+    p.add_argument("--test_file", type=str, default="")
+    p.add_argument("--vocab_dir", type=str, default="")
+    args = p.parse_args(argv)
+
+    mesh = build_mesh(args)
+    need_neg = args.model_type == "DIEN"
+
+    if args.synthetic or not args.train_file:
+        gen = SyntheticSequence(max_len=args.history_max_length, seed=args.seed)
+        train_arrays = gen.sample(50_000, seed=1)
+        test_arrays = gen.sample(10_000, seed=2)
+        item_vocab_size, cat_vocab_size = gen.num_items, gen.num_cats
+        train_iter = batch_iterator(train_arrays, args.train_batch_size, seed=args.seed, epochs=None)
+        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+    else:
+        if args.vocab_dir:
+            iv, cv, i2c = amazon.load_vocab(args.vocab_dir)
+        else:
+            iv, cv, i2c = amazon.build_vocab(args.train_file)
+        i2c_arr = amazon.make_item2cat_array(iv, cv, i2c)
+        train_arrays = amazon.encode_dataset(args.train_file, iv, cv, args.history_max_length)
+        test_arrays = amazon.encode_dataset(args.test_file, iv, cv, args.history_max_length)
+        if need_neg:
+            import numpy as np
+
+            rng = np.random.default_rng(args.seed)
+            test_arrays = amazon.sample_negative_history(test_arrays, len(iv), i2c_arr, rng)
+        item_vocab_size, cat_vocab_size = len(iv), len(cv)
+        train_iter = amazon.dien_batches(
+            train_arrays, args.train_batch_size, len(iv), i2c_arr,
+            sample_negative=need_neg, seed=args.seed, epochs=None,
+        )
+        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+
+    model = MODELS[args.model_type](
+        item_vocab=item_vocab_size,
+        cat_vocab=cat_vocab_size,
+        item_dim=args.embedding_size,
+        cat_dim=args.embedding_size,
+    )
+    task = make_aux_loss_task if args.model_type == "DIEN" else make_ctr_task
+    loss_fn, eval_fn = task(model)
+    trainer = build_trainer(args, loss_fn, eval_fn, mesh)
+    example = next(train_iter)
+    state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
+    if args.resume and args.checkpoint_dir:
+        state = trainer.restore(state)
+    state, _ = trainer.fit(
+        state, train_iter, steps=args.steps,
+        eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches, log_fn=log_jsonl,
+    )
+    log_jsonl({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+    if args.checkpoint_dir:
+        trainer.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Multi-task CTR/CVR entry: BASE / ESMM / MMOE (``esmm/train.py`` parity).
+
+The joint ESMM/MMOE protocol trains on impressions and periodically reports
+CVR AUC (clicked subset, purchase label) and CTCVR AUC (impressions,
+purchase label). ``--model_type BASE`` runs the two-model protocol: a CTR
+model on impressions and a CVR model on clicks, CTCVR = product.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.data.synthetic import SyntheticMultiTask
+from recommender_tpu.models.esmm import ESMM, MMOE, MultiTaskBase
+from recommender_tpu.models.tasks import (
+    evaluate_head,
+    init_model,
+    make_ctr_task,
+    make_head_eval,
+    make_multitask_task,
+)
+from recommender_tpu.data.aliccp import click_only
+
+
+def _round_to(arrays, mult):
+    n = (len(next(iter(arrays.values()))) // mult) * mult
+    return {k: v[:n] for k, v in arrays.items()}
+
+
+def main(argv=None):
+    p = base_parser("TPU multi-task CTR/CVR training (BASE/ESMM/MMOE)")
+    p.add_argument("--model_type", choices=["BASE", "ESMM", "MMOE"], default="ESMM")
+    p.add_argument("--embedding_size", type=int, default=18)
+    p.add_argument("--train_npz", type=str, default="", help="npz with features/click/purchase")
+    p.add_argument("--test_npz", type=str, default="")
+    args = p.parse_args(argv)
+
+    mesh = build_mesh(args)
+    ndata = mesh.shape["data"]
+
+    if args.synthetic or not args.train_npz:
+        gen = SyntheticMultiTask(seed=args.seed)
+        train = gen.sample(100_000, seed=1)
+        test = gen.sample(20_000, seed=2)
+        sizes = list(gen.vocab_sizes)
+    else:
+        train = dict(np.load(args.train_npz))
+        test = dict(np.load(args.test_npz))
+        sizes = (train["features"].max(axis=0) + 1).tolist()
+
+    if args.model_type == "BASE":
+        # two-model protocol (esmm/train.py:14-91)
+        results = {}
+        models = {}
+        for role, label in (("ctr", "click"), ("cvr", "purchase")):
+            data = train if role == "ctr" else _round_to(click_only(train), ndata)
+            arrays = dict(data)
+            arrays["label"] = arrays[label]
+            model = MultiTaskBase(vocab_sizes=sizes, embed_dim=args.embedding_size)
+            loss_fn, eval_fn = make_ctr_task(model)
+            trainer = build_trainer(args, loss_fn, eval_fn, mesh)
+            example = {k: v[: args.train_batch_size] for k, v in arrays.items()}
+            state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
+            it = batch_iterator(arrays, args.train_batch_size, seed=args.seed, epochs=None)
+            state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+            models[role] = (model, state, trainer)
+        # CTCVR eval: product of both models on impressions
+        (ctr_m, ctr_s, tr) = models["ctr"]
+        (cvr_m, cvr_s, _) = models["cvr"]
+        from recommender_tpu.core.metrics import StreamingAUC
+
+        auc = StreamingAUC()
+        for batch in batch_iterator(_round_to(test, ndata), args.test_batch_size, shuffle=False):
+            b = tr.put_batch(batch)
+            p_ctr = ctr_m.apply({"params": ctr_s.params}, b)
+            p_cvr = cvr_m.apply({"params": cvr_s.params}, b)
+            auc.update_state(batch["purchase"], np.asarray(p_ctr) * np.asarray(p_cvr))
+        log_jsonl({"final": 1, "ctcvr_auc": auc.result()})
+        return models
+
+    model_cls = ESMM if args.model_type == "ESMM" else MMOE
+    model = model_cls(vocab_sizes=sizes, embed_dim=args.embedding_size)
+    loss_fn, eval_fn = make_multitask_task(model)
+    trainer = build_trainer(args, loss_fn, eval_fn, mesh)
+    example = {k: v[: args.train_batch_size] for k, v in train.items()}
+    state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
+    if args.resume and args.checkpoint_dir:
+        state = trainer.restore(state)
+    it = batch_iterator(train, args.train_batch_size, seed=args.seed, epochs=None)
+    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+
+    clicks = _round_to(click_only(test), ndata)
+    cvr_auc = evaluate_head(
+        trainer, state, batch_iterator(clicks, ndata, shuffle=False),
+        make_head_eval(model, "cvr", "purchase"),
+    )
+    ctcvr_auc = evaluate_head(
+        trainer, state, batch_iterator(_round_to(test, ndata), args.test_batch_size, shuffle=False),
+        make_head_eval(model, "ctcvr", "purchase"),
+    )
+    log_jsonl({"final": 1, "cvr_auc": cvr_auc, "ctcvr_auc": ctcvr_auc})
+    if args.checkpoint_dir:
+        trainer.save(state)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -172,6 +172,8 @@ class Trainer:
 
             shardings = state_shardings(state, self._param_shardings, self.mesh)
             state = jax.device_put(state, shardings)
+        else:
+            state = jax.device_put(state, self._rep)  # replicate over the mesh
         return state
 
     # ------------------------------------------------------------------- loop

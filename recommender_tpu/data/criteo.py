@@ -1,0 +1,138 @@
+"""Criteo (Kaggle DAC) pipeline: vocab build, encoding, binary shards.
+
+Behavioral parity with ``/root/reference/ctr/tfrecord_io.py``:
+* ONE vocab shared across all 26 categorical columns; values seen > 10
+  times keep a contiguous id, everything else falls to bucket 0
+  (``tfrecord_io.py:15-36``; the reference assigns ids in dict-iteration
+  order — we sort by (-count, value) for determinism, same id space);
+* missing categorical values impute to a per-column sentinel token
+  (the reference uses 10-char random strings regenerated per run,
+  ``tfrecord_io.py:11-12`` — our deterministic ``__miss_<col>__`` tokens
+  have identical semantics and survive restarts; divergence documented);
+* integer features: missing/negative → 0, then ``log(x+1)``
+  (``tfrecord_io.py:45-53``);
+* storage: ``.npz`` shards of fixed-dtype arrays — the TPU-host
+  replacement for per-row TFRecord protos (zero-copy mmap load, no
+  protobuf decode on the hot path).
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import numpy as np
+
+NUM_INT = 13
+NUM_CAT = 26
+TOTAL_COLS = 40
+
+
+def _impute_token(col: int) -> str:
+    return f"__miss_{col}__"
+
+
+def build_vocab(lines: Iterable[str], min_count: int = 11) -> dict[str, int]:
+    """Shared categorical vocab: value → id (1-based would waste bucket 0 —
+    the reference also starts at 0 and lets OOV collide with id 0;
+    we reserve 0 for OOV/rare and start real ids at 1, strictly better and
+    consistent with every other family here; divergence documented)."""
+    counts: dict[str, int] = {}
+    for line in lines:
+        cols = line.rstrip("\n").split("\t")
+        for i in range(NUM_INT + 1, TOTAL_COLS):
+            v = cols[i] if i < len(cols) and cols[i] != "" else _impute_token(i - NUM_INT - 1)
+            counts[v] = counts.get(v, 0) + 1
+    kept = sorted(
+        (v for v, c in counts.items() if c >= min_count),
+        key=lambda v: (-counts[v], v),
+    )
+    return {v: i for i, v in enumerate(kept, start=1)}
+
+
+def encode_lines(lines: Iterable[str], vocab: dict[str, int]) -> dict:
+    labels, ints, cats = [], [], []
+    for line in lines:
+        cols = line.rstrip("\n").split("\t")
+        labels.append(int(cols[0]))
+        row_int = []
+        for i in range(1, NUM_INT + 1):
+            v = cols[i] if i < len(cols) else ""
+            x = int(v) if v not in ("", "\n") else 0
+            row_int.append(max(x, 0))
+        ints.append(row_int)
+        row_cat = []
+        for i in range(NUM_INT + 1, TOTAL_COLS):
+            v = cols[i] if i < len(cols) and cols[i] != "" else _impute_token(i - NUM_INT - 1)
+            row_cat.append(vocab.get(v, 0))
+        cats.append(row_cat)
+    return {
+        "int_features": np.log(np.asarray(ints, np.float32) + 1.0),
+        "cat_features": np.asarray(cats, np.int32),
+        "label": np.asarray(labels, np.float32),
+    }
+
+
+def write_shards(
+    lines: Iterable[str], vocab: dict[str, int], out_dir: str, shard_rows: int = 500_000
+) -> list[str]:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    buf: list[str] = []
+    idx = 0
+
+    def flush():
+        nonlocal idx, buf
+        if not buf:
+            return
+        arrays = encode_lines(buf, vocab)
+        p = out / f"shard_{idx:05d}.npz"
+        np.savez(p, **arrays)
+        paths.append(str(p))
+        idx += 1
+        buf = []
+
+    for line in lines:
+        buf.append(line)
+        if len(buf) >= shard_rows:
+            flush()
+    flush()
+    return paths
+
+
+def save_vocab(vocab: dict, path: str):
+    with open(path, "wb") as f:
+        pickle.dump(vocab, f)
+
+
+def load_vocab(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_shards(paths: list[str]) -> dict:
+    parts = [np.load(p) for p in paths]
+    return {
+        k: np.concatenate([p[k] for p in parts], axis=0)
+        for k in ("int_features", "cat_features", "label")
+    }
+
+
+def shard_batches(
+    paths: list[str], batch_size: int, *, shuffle=True, seed=0, epochs=None
+) -> Iterator[dict]:
+    """Stream batches shard-by-shard (bounded memory for the 40M-row set)."""
+    from recommender_tpu.data.pipeline import batch_iterator
+
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
+        for pi in order:
+            arrays = dict(np.load(paths[pi]))
+            yield from batch_iterator(
+                arrays, batch_size, shuffle=shuffle, seed=int(rng.integers(1 << 31)),
+                epochs=1,
+            )
+        epoch += 1

@@ -1,0 +1,67 @@
+"""Checkpoint/resume: genuine restore of params+opt-state+step (the resume
+logic the reference never had — SURVEY.md §5)."""
+import numpy as np
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.data.synthetic import SyntheticCTR
+from recommender_tpu.models.dlrm import DLRM
+from recommender_tpu.models.tasks import init_model, make_ctr_task
+
+
+def _setup(tmp_path, mesh):
+    gen = SyntheticCTR(vocab_size=256, seed=0)
+    train = gen.sample(2048, seed=1)
+    model = DLRM(vocab_size=256, embed_dim=8, bottom_units=(16, 8), top_units=(16, 1))
+    loss_fn, eval_fn = make_ctr_task(model)
+    cfg = TrainConfig(
+        learning_rate=1e-3, log_every=1, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    trainer = Trainer(loss_fn, cfg, mesh=mesh, eval_fn=eval_fn)
+    example = {k: v[:8] for k, v in train.items()}
+    return trainer, model, example, train
+
+
+def test_save_restore_roundtrip(tmp_path, devices8):
+    mesh = make_mesh(MeshSpec(8, 1))
+    trainer, model, example, train = _setup(tmp_path, mesh)
+    state = trainer.init_state(lambda: init_model(model, example))
+    it = batch_iterator(train, 256, seed=0, epochs=None)
+    state, _ = trainer.fit(state, it, steps=7)
+    assert int(state.step) == 7
+    trainer.save(state)
+
+    fresh = trainer.init_state(lambda: init_model(model, example, seed=99))
+    restored = trainer.restore(fresh)
+    assert int(restored.step) == 7
+    # params and opt state match exactly
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training continues deterministically from the restored state
+    it2a = batch_iterator(train, 256, seed=7, epochs=None)
+    it2b = batch_iterator(train, 256, seed=7, epochs=None)
+    s1, h1 = trainer.fit(state, it2a, steps=3)
+    s2, h2 = trainer.fit(restored, it2b, steps=3)
+    l1 = [h["loss"] for h in h1 if "loss" in h]
+    l2 = [h["loss"] for h in h2 if "loss" in h]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_restore_without_checkpoint_is_noop(tmp_path, devices8):
+    mesh = make_mesh(MeshSpec(8, 1))
+    trainer, model, example, _ = _setup(tmp_path / "empty", mesh)
+    state = trainer.init_state(lambda: init_model(model, example))
+    restored = trainer.restore(state)
+    assert restored is state

@@ -1,0 +1,57 @@
+"""Smoke-run every CLI entry point on synthetic data (tiny steps)."""
+import numpy as np
+import pytest
+
+from recommender_tpu.cli import train_ctr, train_dien, train_eges, train_esmm, train_pinsage
+
+COMMON = ["--synthetic", "--steps", "10", "--log_every", "5", "--eval_every", "0"]
+
+
+def test_cli_ctr(capsys):
+    train_ctr.main(COMMON + [
+        "--model_type", "DLRM", "--vocab_size", "2000",
+        "--train_batch_size", "128", "--test_batch_size", "256", "--eval_batches", "2",
+    ])
+    out = capsys.readouterr().out
+    assert '"loss"' in out and '"final"' in out
+
+
+def test_cli_ctr_model_parallel(capsys):
+    train_ctr.main(COMMON + [
+        "--model_type", "DeepFM", "--vocab_size", "2048",
+        "--mesh_model", "2", "--train_batch_size", "64", "--test_batch_size", "128",
+        "--eval_batches", "1",
+    ])
+    assert '"final"' in capsys.readouterr().out
+
+
+def test_cli_dien(capsys):
+    train_dien.main(COMMON + [
+        "--model_type", "DIEN", "--history_max_length", "10",
+        "--embedding_size", "8", "--train_batch_size", "64",
+        "--test_batch_size", "128", "--eval_batches", "2",
+    ])
+    assert '"final"' in capsys.readouterr().out
+
+
+def test_cli_esmm(capsys):
+    train_esmm.main(COMMON + [
+        "--model_type", "MMOE", "--embedding_size", "8",
+        "--train_batch_size", "128", "--test_batch_size", "256",
+    ])
+    out = capsys.readouterr().out
+    assert '"cvr_auc"' in out and '"ctcvr_auc"' in out
+
+
+def test_cli_eges(capsys):
+    train_eges.main(COMMON + [
+        "--model_type", "EGES", "--embedding_size", "16",
+        "--train_batch_size", "256",
+    ])
+    assert '"loss"' in capsys.readouterr().out
+
+
+def test_cli_pinsage(capsys):
+    train_pinsage.main(COMMON + ["--train_batch_size", "16", "--top_k", "5"])
+    out = capsys.readouterr().out
+    assert '"hit_rate"' in out
