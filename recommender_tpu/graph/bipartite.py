@@ -30,12 +30,17 @@ import numpy as np
 class BipartiteGraph:
     """CSRs in both directions over (user, item) interactions."""
 
-    def __init__(self, users, items, num_users, num_items, edge_data=None):
+    def __init__(self, users, items, num_users, num_items, edge_data=None, use_native=None):
         users = np.asarray(users, np.int64)
         items = np.asarray(items, np.int64)
         self.num_users = num_users
         self.num_items = num_items
         self.edge_data = edge_data or {}
+        from recommender_tpu.graph import native
+
+        if use_native is None:
+            use_native = native.is_available()
+        self.native = use_native and native.is_available()
 
         order = np.argsort(users, kind="stable")
         self.u2i_indptr = _indptr(users[order], num_users)
@@ -91,6 +96,16 @@ class BipartiteGraph:
         """
         items = np.asarray(items, np.int64)
         N = len(items)
+        if self.native:
+            from recommender_tpu.graph import native
+
+            return native.pinsage_importance_neighbors(
+                self.i2u_indptr, self.i2u_indices,
+                self.u2i_indptr, self.u2i_indices,
+                items, num_neighbors, num_walks, walk_length,
+                termination_prob, int(rng.integers(1 << 62)),
+                exclude=exclude,
+            )
         counts: list[dict[int, int]] = [dict() for _ in range(N)]
         for _ in range(num_walks):
             cur = items.copy()

@@ -19,15 +19,25 @@ import numpy as np
 
 
 class WeightedGraph:
-    def __init__(self, indptr, indices, weights, num_nodes):
+    def __init__(self, indptr, indices, weights, num_nodes, use_native=None):
         self.indptr = indptr
         self.indices = indices
         self.weights = weights
         self.num_nodes = num_nodes
         self.degrees = np.diff(indptr)
-        self.alias_prob, self.alias_idx = _build_alias_tables(
-            indptr, weights.astype(np.float64)
-        )
+        from recommender_tpu.graph import native
+
+        if use_native is None:
+            use_native = native.is_available()
+        self.native = use_native and native.is_available()
+        if self.native:
+            self.alias_prob, self.alias_idx = native.build_alias_tables(
+                indptr, weights
+            )
+        else:
+            self.alias_prob, self.alias_idx = _build_alias_tables(
+                indptr, weights.astype(np.float64)
+            )
 
     @staticmethod
     def from_edges(src, dst, weight=None, num_nodes=None) -> "WeightedGraph":

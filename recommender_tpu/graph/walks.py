@@ -26,8 +26,18 @@ from recommender_tpu.graph.store import WeightedGraph
 def random_walk(
     graph: WeightedGraph, seeds: np.ndarray, length: int, rng: np.random.Generator
 ) -> np.ndarray:
-    """[S] seeds → [S, length+1] node sequences (weighted; -1 after dead end)."""
+    """[S] seeds → [S, length+1] node sequences (weighted; -1 after dead end).
+
+    Uses the native C++ walker when the graph was built with it (whole walk
+    in one call); otherwise the vectorized numpy stepper."""
     seeds = np.asarray(seeds, np.int32)
+    if getattr(graph, "native", False):
+        from recommender_tpu.graph import native
+
+        return native.weighted_random_walks(
+            graph.indptr, graph.indices, graph.alias_prob, graph.alias_idx,
+            seeds, length, int(rng.integers(1 << 62)),
+        )
     out = np.full((len(seeds), length + 1), -1, np.int32)
     out[:, 0] = seeds
     cur = seeds
