@@ -186,16 +186,41 @@ class Trainer:
         eval_batches: int = 0,
         log_fn: Callable[[dict], None] = None,
         rng: Optional[jax.Array] = None,
+        prefetch: int = 2,
     ) -> tuple[TrainState, list[dict]]:
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         history: list[dict] = []
         t0 = time.perf_counter()
         window_examples = 0
+        prefetcher = None
+        if prefetch:
+            from recommender_tpu.data.pipeline import prefetch_to_device
+
+            # host-side batch assembly runs ahead in a background thread;
+            # device_put stays on this thread (device APIs are not
+            # thread-safe against a concurrently executing jit)
+            prefetcher = prefetch_to_device(train_iter, size=prefetch)
+            train_iter = prefetcher
+        try:
+            return self._fit_loop(
+                state, train_iter, steps, eval_iter_fn, eval_batches,
+                log_fn, rng, False, history, t0, window_examples,
+            )
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
+
+    def _fit_loop(
+        self, state, train_iter, steps, eval_iter_fn, eval_batches,
+        log_fn, rng, prefetched, history, t0, window_examples,
+    ):
+        cfg = self.cfg
         for i, batch in enumerate(train_iter):
             if i >= steps:
                 break
-            batch = self.put_batch(batch)
+            if not prefetched:
+                batch = self.put_batch(batch)
             state, metrics = self._train_step(state, batch, rng)
             window_examples += _batch_size(batch)
             step = i + 1

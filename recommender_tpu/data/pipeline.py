@@ -39,29 +39,72 @@ def batch_iterator(
         epoch += 1
 
 
-def prefetch_to_device(it: Iterable, size: int = 2, put_fn: Callable = None) -> Iterator:
-    """Run the host iterator in a background thread, ``size`` batches ahead.
+class Prefetcher:
+    """Background-thread prefetch with clean shutdown.
 
     ``put_fn`` (e.g. ``Trainer.put_batch``) runs in the background thread so
-    H2D transfer overlaps the previous step's compute.
+    H2D transfer overlaps the previous step's compute. ``close()`` (also
+    called on garbage collection / generator exit) unblocks and stops the
+    producer — without it, endless iterators leak threads parked on full
+    queues.
     """
-    q: queue.Queue = queue.Queue(maxsize=size)
+
     _END = object()
 
-    def producer():
-        try:
-            for item in it:
-                q.put(put_fn(item) if put_fn else item)
-        finally:
-            q.put(_END)
+    def __init__(self, it: Iterable, size: int = 2, put_fn: Callable = None):
+        self._q: queue.Queue = queue.Queue(maxsize=size)
+        self._stop = threading.Event()
+        self._it = it
+        self._put_fn = put_fn
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    def _producer(self):
+        try:
+            for item in self._it:
+                if self._stop.is_set():
+                    return
+                out = self._put_fn(item) if self._put_fn else item
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        finally:
+            try:
+                self._q.put_nowait(Prefetcher._END)
+            except queue.Full:
+                pass
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is Prefetcher._END:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the producer unblocks quickly
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):
+        self._stop.set()
+
+
+def prefetch_to_device(it: Iterable, size: int = 2, put_fn: Callable = None) -> Prefetcher:
+    return Prefetcher(it, size=size, put_fn=put_fn)
 
 
 def shard_for_host(arrays: dict, host_id: int, num_hosts: int) -> dict:

@@ -1,0 +1,62 @@
+"""Offline serving export — the Spark map-reduce replacement.
+
+The reference serves PinSage by exporting every item's sampled neighbors +
+projector features to JSON (``pinsage/inference/data_prepare.py:16-56``) and
+re-implementing the Convolve forward as a PySpark job with numpy UDFs and
+*random placeholder weights* (``pinsage/inference/inference.py:57-64``,
+README: "not so efficient"). TPU-native replacement:
+
+* ``export_serving_bundle`` — run the full-corpus **trained** model on-chip
+  (``retrieval.eval.full_corpus_reprs``) and write a compact npz bundle:
+  item reprs, the importance-neighbor tables used, and metadata. The JSON
+  per-row format dies with Spark; anything downstream reads one npz.
+* ``load_serving_bundle`` / ``serve_topk`` — load + answer top-k queries
+  with the on-chip matmul/top_k path (usable under pjit across a slice for
+  corpus sharding).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def export_serving_bundle(
+    path: str,
+    item_reprs: np.ndarray,
+    neighbor_ids: np.ndarray | None = None,
+    neighbor_weights: np.ndarray | None = None,
+    metadata: dict | None = None,
+):
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {"item_reprs": np.asarray(item_reprs, np.float32)}
+    if neighbor_ids is not None:
+        arrays["neighbor_ids"] = np.asarray(neighbor_ids, np.int32)
+        arrays["neighbor_weights"] = np.asarray(neighbor_weights, np.float32)
+    arrays["metadata_json"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(p, **arrays)
+
+
+def load_serving_bundle(path: str) -> dict:
+    data = np.load(path, allow_pickle=False)
+    out = {k: data[k] for k in data.files if k != "metadata_json"}
+    out["metadata"] = json.loads(bytes(data["metadata_json"]).decode() or "{}")
+    return out
+
+
+def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10) -> np.ndarray:
+    """Item-to-item retrieval from an exported bundle: [Q] ids → [Q, k] ids."""
+    import jax
+    import jax.numpy as jnp
+
+    reprs = jnp.asarray(bundle["item_reprs"])
+    q = reprs[jnp.asarray(query_item_ids)]
+    sim = jnp.matmul(q, reprs.T)
+    # mask self-retrieval
+    sim = sim.at[jnp.arange(q.shape[0]), jnp.asarray(query_item_ids)].set(-jnp.inf)
+    _, idx = jax.lax.top_k(sim, k)
+    return np.asarray(idx)
