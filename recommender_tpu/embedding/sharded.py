@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -60,6 +61,86 @@ def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh) -> jnp.ndar
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P()),
         out_specs=P(),
+    )
+    return fn(table, ids)
+
+
+def _a2a_local(shard, ids, axis: str, capacity: int):
+    """Per-device body of the all-to-all exchange (see ``all_to_all_lookup``)."""
+    m = jax.lax.axis_size(axis)
+    rows = shard.shape[0]
+    d = shard.shape[1]
+    flat = ids.reshape(-1)
+    n = flat.shape[0]
+
+    owner = jnp.clip(flat // rows, 0, m - 1)  # owning shard per id
+    # stable pack: sort by owner, slot positions within each owner bucket
+    order = jnp.argsort(owner)  # [n]
+    sorted_owner = owner[order]
+    sorted_ids = flat[order]
+    # position within bucket = index - start_of_bucket
+    start = jnp.searchsorted(sorted_owner, jnp.arange(m))  # [m]
+    within = jnp.arange(n) - start[sorted_owner]
+    ok = within < capacity  # overflow ids fall back to 0-vector (see docstring)
+    send_ids = jnp.full((m, capacity), rows * m, jnp.int32)  # pad = out-of-range
+    # overflow entries scatter out of range and are dropped (never clobber)
+    send_ids = send_ids.at[sorted_owner, jnp.where(ok, within, capacity)].set(
+        sorted_ids.astype(jnp.int32), mode="drop"
+    )
+
+    # exchange: row j of send_ids goes to device j
+    recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=False)  # [m, C]
+    # serve local rows (pad/foreign-range ids → clamp, zero later)
+    my = jax.lax.axis_index(axis)
+    local_idx = recv_ids - my * rows
+    valid = (local_idx >= 0) & (local_idx < rows)
+    served = jnp.take(shard, jnp.clip(local_idx, 0, rows - 1).reshape(-1), axis=0)
+    served = jnp.where(valid.reshape(-1, 1), served, 0.0).reshape(m, capacity, d)
+    # send results back
+    recv_vecs = jax.lax.all_to_all(served, axis, 0, 0, tiled=False)  # [m, C, D]
+
+    # unpack: vector for sorted position i lives at [owner_i, within_i]
+    got = recv_vecs[sorted_owner, jnp.minimum(within, capacity - 1)]
+    got = jnp.where(ok[:, None], got, 0.0)
+    # inverse permutation back to original id order
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    out = jnp.take(got, inv, axis=0)
+    return out.reshape(*ids.shape, d)
+
+
+def all_to_all_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """Row-sharded lookup via all-to-all ID/vector exchange over ``model``.
+
+    The bandwidth-optimal exchange for large batches (BASELINE.json north
+    star; the DLRM-paper model-parallel embedding pattern): instead of every
+    shard psum-ing a full [B, F, D] contribution (``sharded_lookup``), each
+    device routes each id to its owning shard (ids all-to-all), the owner
+    gathers the rows, and vectors ride back (vectors all-to-all). Comm per
+    device drops from ``B·F·D`` (psum) to ``≈2·(B·F/m)·D`` plus the id
+    exchange.
+
+    Fixed-shape routing: per-destination capacity is
+    ``ceil(n/m · capacity_factor)``; ids beyond a destination's capacity
+    (pathological skew) are served a 0 vector — size ``capacity_factor``
+    for the skew you expect, or keep the psum path for tiny batches.
+    Differentiable end-to-end (AD transposes the all_to_alls and the local
+    gather's scatter-add stays shard-local).
+    """
+    fn = shard_map(
+        partial(
+            _a2a_local,
+            axis=MODEL_AXIS,
+            capacity=int(np.ceil(ids.size / mesh.shape[MODEL_AXIS] * capacity_factor)),
+        ),
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False,
     )
     return fn(table, ids)
 
