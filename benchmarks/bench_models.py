@@ -1,0 +1,199 @@
+"""Per-family training-throughput benchmarks on the attached TPU.
+
+Prints one JSON line per benchmark:
+  {"bench": "...", "ms_per_step": X, "examples_per_s": Y, "batch": B}
+
+The repo-root ``bench.py`` (driver headline) reports DLRM only; this harness
+covers the zoo. Sync discipline: scalar ``float()`` fetches (see
+.claude/skills/verify/SKILL.md gotchas).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.models.tasks import (
+    init_model,
+    make_aux_loss_task,
+    make_ctr_task,
+    make_multitask_task,
+    make_skipgram_task,
+)
+
+
+def _bench_steps(trainer, state, batch, steps=50, warmup=5):
+    rng = jax.random.PRNGKey(0)
+    step = trainer._train_step
+    for _ in range(warmup):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    return (time.perf_counter() - t0) / steps
+
+
+def report(name, dt, batch_size):
+    print(
+        json.dumps(
+            {
+                "bench": name,
+                "ms_per_step": round(dt * 1e3, 2),
+                "examples_per_s": round(batch_size / dt, 1),
+                "batch": batch_size,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_dlrm():
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    B = 8192
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    model = DLRM(vocab_size=1_000_000, embed_dim=16)
+    gen = SyntheticCTR(vocab_size=1_000_000, seed=0)
+    host = gen.sample(B, seed=1)
+    loss_fn, eval_fn = make_ctr_task(model)
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+    report("dlrm_criteo_b8192", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_deepfm():
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.deepfm import DeepFM
+
+    B = 8192
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    model = DeepFM(vocab_size=1_000_000, embed_dim=16)
+    gen = SyntheticCTR(vocab_size=1_000_000, seed=0)
+    host = gen.sample(B, seed=1)
+    loss_fn, eval_fn = make_ctr_task(model)
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+    report("deepfm_criteo_b8192", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_dien():
+    from recommender_tpu.data.synthetic import SyntheticSequence
+    from recommender_tpu.models.dien import DIEN
+
+    B, T = 128, 100  # reference protocol: batch 128, history 100
+    gen = SyntheticSequence(num_items=400_000, num_cats=1500, max_len=T, seed=0)
+    host = gen.sample(B, seed=1)
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    model = DIEN(item_vocab=gen.num_items, cat_vocab=gen.num_cats)
+    loss_fn, eval_fn = make_aux_loss_task(model)
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+    report("dien_amazon_b128_T100", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_mmoe():
+    from recommender_tpu.data.synthetic import SyntheticMultiTask
+    from recommender_tpu.models.esmm import MMOE
+
+    B = 512  # reference train batch (esmm/train.py default)
+    gen = SyntheticMultiTask(vocab_sizes=tuple([100_000] * 18), seed=0)
+    host = gen.sample(B, seed=1)
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    model = MMOE(vocab_sizes=list(gen.vocab_sizes))
+    loss_fn, eval_fn = make_multitask_task(model)
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+    report("mmoe_aliccp_b512", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_eges():
+    from recommender_tpu.graph.store import WeightedGraph
+    from recommender_tpu.graph.walks import skipgram_batches
+    from recommender_tpu.models.eges import EGES
+
+    rng = np.random.default_rng(0)
+    V = 100_000
+    src = rng.integers(1, V, 2_000_000)
+    dst = rng.integers(1, V, 2_000_000)
+    w = rng.random(2_000_000).astype(np.float32)
+    g = WeightedGraph.from_edges(src, dst, w, num_nodes=V)
+    side = {
+        "cat": rng.integers(1, 200, V).astype(np.int32),
+        "brand": rng.integers(1, 2000, V).astype(np.int32),
+    }
+    B = 4096
+    it = skipgram_batches(g, batch_size=B, walks_per_round=512, side_info=side, seed=0)
+    model = EGES(vocab_size=V, cat_vocab=200, brand_vocab=2000, embed_dim=128)
+    loss_fn, eval_fn = make_skipgram_task(model)
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+    example = next(it)
+    state = tr.init_state(lambda: init_model(model, example))
+    # device-step benchmark
+    report("eges_device_b4096", _bench_steps(tr, state, tr.put_batch(example)), B)
+    # host sampling throughput (pairs/s), the reference's bottleneck
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(10):
+        b = next(it)
+        n += len(b["target"])
+    dt = (time.perf_counter() - t0) / 10
+    report("eges_host_sampling_b4096", dt, B)
+
+
+def bench_pinsage():
+    from recommender_tpu.graph.bipartite import BipartiteGraph
+    from recommender_tpu.models.pinsage import ItemFeatures, PinSage
+    from recommender_tpu.models.pinsage_task import (
+        make_pinsage_task,
+        pinsage_train_batches,
+    )
+
+    rng = np.random.default_rng(0)
+    U, V, E = 6040, 3706, 900_000  # MovieLens-1M scale
+    us = rng.integers(0, U, E)
+    its = rng.integers(0, V, E)
+    g = BipartiteGraph(us, its, U, V)
+    feats = ItemFeatures(
+        year=rng.integers(0, 81, V).astype(np.int32),
+        genre=(rng.random((V, 18)) < 0.2).astype(np.float32),
+    )
+    B = 32  # reference batch (pinsage/train/train.py)
+    model = PinSage(features=feats)
+    loss_fn = make_pinsage_task(model)
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh)
+    it = pinsage_train_batches(g, B, seed=0)
+    example = next(it)
+    state = tr.init_state(lambda: init_model(model, example))
+    # full pipeline: host sampling + device step
+    rng_key = jax.random.PRNGKey(0)
+    step = tr._train_step
+    state, m = step(state, tr.put_batch(example), rng_key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    n_steps = 30
+    for _ in range(n_steps):
+        b = next(it)
+        state, m = step(state, tr.put_batch(b), rng_key)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    report("pinsage_ml1m_b32_endtoend", dt, B)
+
+
+if __name__ == "__main__":
+    import sys
+
+    which = sys.argv[1:] or ["dlrm", "deepfm", "dien", "mmoe", "eges", "pinsage"]
+    for name in which:
+        globals()[f"bench_{name}"]()
