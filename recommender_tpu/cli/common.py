@@ -51,6 +51,7 @@ def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) 
         checkpoint_dir=args.checkpoint_dir or None,
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,
+        early_stop_patience=getattr(args, "early_stop_patience", 0),
     )
     return Trainer(loss_fn, cfg, mesh=mesh, param_shardings=param_shardings, eval_fn=eval_fn)
 

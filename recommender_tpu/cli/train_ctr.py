@@ -28,7 +28,19 @@ def main(argv=None):
     p.add_argument("--embedding_size", type=int, default=16)
     p.add_argument("--data_dir", type=str, default="")
     p.add_argument("--vocab", type=str, default="")
+    p.add_argument("--lr_schedule", choices=["none", "dlrm"], default="none",
+                   help="'dlrm' = warmup+cosine (ctr/util.py:7-37)")
+    p.add_argument("--warmup_steps", type=int, default=2000)
+    p.add_argument("--decay_steps", type=int, default=40000)
+    p.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop after N evals without val-AUC improvement")
     args = p.parse_args(argv)
+    if args.lr_schedule == "dlrm":
+        from recommender_tpu.nn.schedules import dlrm_warmup_cosine
+
+        args.learning_rate = dlrm_warmup_cosine(
+            args.learning_rate, args.warmup_steps, args.decay_steps, 1e-4
+        )
 
     mesh = build_mesh(args)
     partition = "model" if args.mesh_model > 1 else None

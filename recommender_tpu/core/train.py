@@ -60,6 +60,12 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only on demand
     max_to_keep: int = 3
     seed: int = 0
+    # early stopping on an eval metric (keras EarlyStopping(val_auc, patience)
+    # parity, ctr/train.py:88-96): 0 = disabled; checkpoints save only on
+    # improvement when a checkpoint_dir is configured (best-only semantics)
+    early_stop_patience: int = 0
+    early_stop_metric: str = "eval_auc"
+    early_stop_mode: str = "max"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -216,6 +222,9 @@ class Trainer:
         log_fn, rng, prefetched, history, t0, window_examples,
     ):
         cfg = self.cfg
+        best = None
+        stale_evals = 0
+        sign = 1.0 if cfg.early_stop_mode == "max" else -1.0
         for i, batch in enumerate(train_iter):
             if i >= steps:
                 break
@@ -244,6 +253,18 @@ class Trainer:
                 history.append(ev)
                 if log_fn:
                     log_fn(ev)
+                if cfg.early_stop_patience:
+                    value = sign * ev.get(cfg.early_stop_metric, float("-inf"))
+                    if best is None or value > best:
+                        best = value
+                        stale_evals = 0
+                        if self._ckpt_mgr is not None:
+                            self.save(state)  # best-only checkpointing
+                    else:
+                        stale_evals += 1
+                        if stale_evals >= cfg.early_stop_patience:
+                            history.append({"early_stopped": True, "step": step})
+                            break
             if (
                 self._ckpt_mgr is not None
                 and cfg.checkpoint_every
