@@ -25,10 +25,11 @@ from recommender_tpu.embedding.table import Embedding
 class DeepWalk(nn.Module):
     vocab_size: int
     embed_dim: int = 128
+    partition: str | None = None  # 'model' → row-shard the big id tables
 
     def setup(self):
-        self.input_embedding = Embedding(self.vocab_size, self.embed_dim)
-        self.output_embedding = Embedding(self.vocab_size, self.embed_dim)
+        self.input_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
 
     def get_hidden(self, batch: dict) -> jnp.ndarray:
         return self.input_embedding(batch["target"])
@@ -44,12 +45,13 @@ class GES(nn.Module):
     cat_vocab: int
     brand_vocab: int
     embed_dim: int = 128
+    partition: str | None = None
 
     def setup(self):
-        self.id_embedding = Embedding(self.vocab_size, self.embed_dim)
+        self.id_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
         self.cat_embedding = Embedding(self.cat_vocab, self.embed_dim)
         self.brand_embedding = Embedding(self.brand_vocab, self.embed_dim)
-        self.output_embedding = Embedding(self.vocab_size, self.embed_dim)
+        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
 
     def side_stack(self, batch: dict) -> jnp.ndarray:
         """[B, 3, D]: id, cat, brand embeddings."""

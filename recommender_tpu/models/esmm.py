@@ -33,12 +33,13 @@ class FeatureEmbedder(nn.Module):
 
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
+    partition: str | None = None  # 'model' → row-shard each table
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         cols = []
         for j, v in enumerate(self.vocab_sizes):
-            emb = Embedding(v, self.embed_dim, name=f"feat_{j}")
+            emb = Embedding(v, self.embed_dim, name=f"feat_{j}", partition=self.partition)
             cols.append(emb(features[:, j]))
         return jnp.concatenate(cols, axis=-1)
 
@@ -49,10 +50,11 @@ class MultiTaskBase(nn.Module):
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 2)
+    partition: str | None = None
 
     @nn.compact
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
-        x = FeatureEmbedder(self.vocab_sizes, self.embed_dim)(batch["features"])
+        x = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)(batch["features"])
         out = MLP(self.mlp_units, final_activation=nn.softmax)(x, train=train)
         # reference uses a 2-unit softmax head; prob of class 1
         return out[:, 1] if out.shape[-1] == 2 else jnp.squeeze(nn.sigmoid(out), -1)
@@ -62,9 +64,10 @@ class ESMM(nn.Module):
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 1)
+    partition: str | None = None
 
     def setup(self):
-        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim)
+        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)
         self.ctr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
         self.cvr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
 
@@ -82,9 +85,10 @@ class MMOE(nn.Module):
     num_experts: int = 8
     expert_units: Sequence[int] = (200, 80)
     tower_units: Sequence[int] = (40, 1)
+    partition: str | None = None
 
     def setup(self):
-        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim)
+        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)
         self.expert_bank = ExpertBank(self.num_experts, self.expert_units)
         self.gates = [
             MMOEGate(self.num_experts, name=f"gate_{i}") for i in range(self.num_tasks)

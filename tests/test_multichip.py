@@ -1,0 +1,90 @@
+"""Every model family's FULL train step compiled and run on a (2×4) mesh
+with row-sharded embedding tables — the multi-chip contract for the zoo."""
+import jax
+import numpy as np
+import pytest
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.models.tasks import (
+    init_model,
+    make_aux_loss_task,
+    make_ctr_task,
+    make_multitask_task,
+    make_skipgram_task,
+)
+from recommender_tpu.parallel.partitioning import param_shardings
+
+
+def _run_one_step(model, batch, task_fn, devices8):
+    mesh = make_mesh(MeshSpec(2, 4))
+    out = task_fn(model)
+    loss_fn = out[0] if isinstance(out, tuple) else out
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = Trainer(loss_fn, TrainConfig(learning_rate=1e-3), mesh=mesh,
+                      param_shardings=pshard)
+    state = trainer.init_state(lambda: init_model(model, batch))
+    dev_batch = trainer.put_batch(batch)
+    state, metrics = trainer._train_step(state, dev_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # the table really is row-sharded over the model axis
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        name = jax.tree_util.keystr(path)
+        if "embedding" in name and leaf.ndim == 2 and leaf.shape[0] >= 64:
+            spec = leaf.sharding.spec
+            if spec and spec[0] == "model":
+                return  # found at least one sharded table
+    raise AssertionError("no row-sharded table found in params")
+
+
+def test_dlrm_multichip(devices8):
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    gen = SyntheticCTR(vocab_size=128, seed=0)
+    batch = gen.sample(16, seed=1)
+    model = DLRM(vocab_size=128, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), partition="model")
+    _run_one_step(model, batch, make_ctr_task, devices8)
+
+
+def test_dien_multichip(devices8):
+    from recommender_tpu.data.synthetic import SyntheticSequence
+    from recommender_tpu.models.dien import DIEN
+
+    gen = SyntheticSequence(num_items=128, num_cats=16, max_len=8, seed=0)
+    batch = gen.sample(16, seed=1)
+    model = DIEN(item_vocab=128, cat_vocab=16, item_dim=8, cat_dim=8,
+                 mlp_units=(16, 1), extract_hidden=8, evolve_hidden=8,
+                 partition="model")
+    _run_one_step(model, batch, make_aux_loss_task, devices8)
+
+
+def test_mmoe_multichip(devices8):
+    from recommender_tpu.data.synthetic import SyntheticMultiTask
+    from recommender_tpu.models.esmm import MMOE
+
+    gen = SyntheticMultiTask(num_feats=4, vocab_sizes=(64, 64, 64, 64), seed=0)
+    batch = gen.sample(16, seed=1)
+    model = MMOE(vocab_sizes=[64] * 4, embed_dim=8, num_experts=2,
+                 expert_units=(8, 4), tower_units=(4, 1), partition="model")
+    _run_one_step(model, batch, make_multitask_task, devices8)
+
+
+def test_eges_multichip(devices8):
+    from recommender_tpu.models.eges import EGES
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "target": rng.integers(1, 128, 16).astype(np.int32),
+        "target_cat": rng.integers(1, 8, 16).astype(np.int32),
+        "target_brand": rng.integers(1, 8, 16).astype(np.int32),
+        "context": rng.integers(0, 128, (16, 4)).astype(np.int32),
+        "label": np.concatenate(
+            [np.ones((16, 1), np.float32), np.zeros((16, 3), np.float32)], axis=1
+        ),
+    }
+    model = EGES(vocab_size=128, cat_vocab=8, brand_vocab=8, embed_dim=8,
+                 partition="model")
+    _run_one_step(model, batch, make_skipgram_task, devices8)
