@@ -1,0 +1,221 @@
+"""Quality-evidence runs: train each family on synthetic data with a known
+planted structure and report final eval metrics (JSON lines).
+
+These are the framework's "does it actually learn, at scale, on the real
+chip" proof — the reference's dataset-specific AUC targets (BASELINE.md)
+need the real downloads; the synthetic ceilings here are known by
+construction and must be approached, not just beaten trivially.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.models.tasks import (
+    evaluate_head,
+    init_model,
+    link_prediction_auc,
+    make_aux_loss_task,
+    make_ctr_task,
+    make_head_eval,
+    make_multitask_task,
+    make_skipgram_task,
+)
+
+
+def report(name, **kw):
+    print(json.dumps({"quality_run": name, **{k: round(v, 4) if isinstance(v, float) else v for k, v in kw.items()}}), flush=True)
+
+
+def mesh1():
+    return make_mesh(MeshSpec(len(jax.devices()), 1))
+
+
+def run_dlrm(steps=3000):
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    gen = SyntheticCTR(vocab_size=200_000, seed=0)
+    train = gen.sample(2_000_000, seed=1)
+    test = gen.sample(100_000, seed=2)
+    model = DLRM(vocab_size=200_000, embed_dim=16)
+    loss_fn, eval_fn = make_ctr_task(model)
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                 mesh=mesh1(), eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
+    t0 = time.perf_counter()
+    state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
+    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False))
+    report("dlrm", steps=steps, wall_s=round(time.perf_counter() - t0, 1), **ev)
+
+
+def run_deepfm(steps=3000):
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.deepfm import DeepFM
+
+    gen = SyntheticCTR(vocab_size=200_000, seed=0)
+    train = gen.sample(2_000_000, seed=1)
+    test = gen.sample(100_000, seed=2)
+    model = DeepFM(vocab_size=200_000, embed_dim=16)
+    loss_fn, eval_fn = make_ctr_task(model)
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                 mesh=mesh1(), eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
+    state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
+    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False))
+    report("deepfm", steps=steps, **ev)
+
+
+def run_dien(steps=3000):
+    from recommender_tpu.data.amazon import sample_negative_history
+    from recommender_tpu.data.synthetic import SyntheticSequence
+    from recommender_tpu.models.dien import DIEN, DIN, BaseModel
+
+    gen = SyntheticSequence(num_items=20_000, num_cats=200, max_len=50, seed=0)
+    train = gen.sample(400_000, seed=1)
+    test = gen.sample(50_000, seed=2)
+    for name, cls, task in (
+        ("dien_base", BaseModel, make_ctr_task),
+        ("din", DIN, make_ctr_task),
+        ("dien", DIEN, make_aux_loss_task),
+    ):
+        model = cls(item_vocab=gen.num_items, cat_vocab=gen.num_cats)
+        loss_fn, eval_fn = task(model)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
+        state, _ = tr.fit(state, batch_iterator(train, 512, epochs=None), steps=steps)
+        ev = tr.evaluate(state, batch_iterator(test, 2048, shuffle=False))
+        report(name, steps=steps, **ev)
+
+
+def run_esmm(steps=3000):
+    from recommender_tpu.data.aliccp import click_only
+    from recommender_tpu.data.synthetic import SyntheticMultiTask
+    from recommender_tpu.models.esmm import ESMM, MMOE
+
+    gen = SyntheticMultiTask(seed=0)
+    train = gen.sample(1_000_000, seed=1)
+    test = gen.sample(100_000, seed=2)
+    for name, cls in (("esmm", ESMM), ("mmoe", MMOE)):
+        model = cls(vocab_sizes=list(gen.vocab_sizes))
+        loss_fn, eval_fn = make_multitask_task(model)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
+        state, _ = tr.fit(state, batch_iterator(train, 1024, epochs=None), steps=steps)
+        clicks = click_only(test)
+        cvr_auc = evaluate_head(
+            tr, state, batch_iterator(clicks, 1024, shuffle=False),
+            make_head_eval(model, "cvr", "purchase"),
+        )
+        ctcvr_auc = evaluate_head(
+            tr, state, batch_iterator(test, 4096, shuffle=False),
+            make_head_eval(model, "ctcvr", "purchase"),
+        )
+        report(name, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
+
+
+def run_eges(steps=4000):
+    from recommender_tpu.graph.store import WeightedGraph
+    from recommender_tpu.graph.walks import skipgram_batches
+    from recommender_tpu.models.eges import EGES, GES, DeepWalk
+
+    rng = np.random.default_rng(0)
+    V, C = 20_000, 64
+    comm = rng.integers(0, C, V)
+    src, dst = [], []
+    for v in range(1, V):
+        pool = np.where(comm == comm[v])[0]
+        pool = pool[pool > 0]
+        picks = rng.choice(pool, size=8)
+        for u in picks:
+            if u != v:
+                src += [v, int(u)]
+                dst += [int(u), v]
+    g = WeightedGraph.from_edges(src, dst, num_nodes=V)
+    side = {"cat": (comm + 1).astype(np.int32),
+            "brand": rng.integers(1, 100, V).astype(np.int32)}
+    side["cat"][0] = 0
+    # held-out link-pred triples: intra-community pairs vs uniform negatives
+    qs = rng.integers(1, V, 20000)
+    ps, ns = [], []
+    for q in qs:
+        pool = np.where(comm == comm[q])[0]
+        pool = pool[pool > 0]
+        ps.append(int(rng.choice(pool)))
+        ns.append(int(rng.integers(1, V)))
+    triples = {"query": qs.astype(np.int32), "pos": np.array(ps, np.int32),
+               "neg": np.array(ns, np.int32)}
+    triples_side = dict(triples)
+    for role in ("query", "pos", "neg"):
+        for nm, arr in side.items():
+            triples_side[f"{role}_{nm}"] = arr[triples[role]]
+
+    for name, model, use_side in (
+        ("bge", DeepWalk(vocab_size=V, embed_dim=64), False),
+        ("ges", GES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True),
+        ("eges", EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True),
+    ):
+        loss_fn, eval_fn = make_skipgram_task(model)
+        it = skipgram_batches(g, batch_size=2048, walks_per_round=256,
+                              side_info=side if use_side else None, seed=0)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, next(it)))
+        state, _ = tr.fit(state, it, steps=steps)
+        auc = link_prediction_auc(
+            model, state.params, triples_side if use_side else triples
+        )
+        report(name, steps=steps, link_prediction_auc=auc)
+
+
+def run_pinsage(steps=2000):
+    from recommender_tpu.data.movielens import ground_truth_matrix
+    from recommender_tpu.graph.bipartite import BipartiteGraph
+    from recommender_tpu.models.pinsage import ItemFeatures, PinSage
+    from recommender_tpu.models.pinsage_task import make_pinsage_task, pinsage_train_batches
+    from recommender_tpu.retrieval.eval import full_corpus_reprs, hit_rate, recommend_topk
+
+    rng = np.random.default_rng(0)
+    U, V, C = 6000, 3700, 32
+    u_comm = rng.integers(0, C, U)
+    blocks = np.array_split(np.arange(V), C)
+    us, its = [], []
+    for u in range(U):
+        pool = blocks[u_comm[u]]
+        for _ in range(20):
+            it_ = int(rng.choice(pool)) if rng.random() < 0.85 else int(rng.integers(V))
+            us.append(u)
+            its.append(it_)
+    g = BipartiteGraph(us, its, U, V)
+    feats = ItemFeatures(year=rng.integers(0, 81, V).astype(np.int32),
+                         genre=(rng.random((V, 18)) < 0.2).astype(np.float32))
+    model = PinSage(features=feats)
+    loss_fn = make_pinsage_task(model)
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9), mesh=mesh1())
+    it = pinsage_train_batches(g, 128, seed=0)
+    state = tr.init_state(lambda: init_model(model, next(it)))
+    state, _ = tr.fit(state, it, steps=steps)
+    reprs = full_corpus_reprs(model, state.params, g, np.random.default_rng(1))
+    latest = np.array([int(np.random.default_rng(u).choice(blocks[u_comm[u]])) for u in range(U)])
+    test_item = np.array([int(np.random.default_rng(u + 1).choice(blocks[u_comm[u]])) for u in range(U)])
+    seen = np.zeros((U, V), bool)
+    seen[np.asarray(us), np.asarray(its)] = True
+    recs = recommend_topk(reprs, latest, seen, k=10)
+    hr = hit_rate(recs, ground_truth_matrix(test_item, V))
+    report("pinsage", steps=steps, hit_rate_at_10=hr)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["dlrm", "deepfm", "dien", "esmm", "eges", "pinsage"]
+    for name in which:
+        globals()[f"run_{name}"]()

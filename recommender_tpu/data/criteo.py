@@ -101,6 +101,68 @@ def write_shards(
     return paths
 
 
+def encode_file_native(path: str, vocab: dict[str, int]) -> dict | None:
+    """Parse+encode a raw Criteo TSV with the C++ parser (~40× the Python
+    path; see ``native/src/criteo_parser.cpp``). Returns None when the
+    native library is unavailable — callers fall back to ``encode_lines``."""
+    import ctypes
+    from pathlib import Path as _P
+
+    lib_path = _P(__file__).resolve().parents[2] / "native" / "libcriteo_parser.so"
+    if not lib_path.exists():
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", str(lib_path.parent)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError:
+        return None
+    lib.criteo_count_lines.restype = ctypes.c_int64
+    lib.criteo_vocab_create.restype = ctypes.c_void_p
+    lib.criteo_encode.restype = ctypes.c_int64
+    lib.criteo_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+
+    n = lib.criteo_count_lines(path.encode())
+    if n < 0:
+        return None
+    # blob tokens ordered by vocab id 1..N
+    ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+    assert [i for _, i in ordered] == list(range(1, len(ordered) + 1)), (
+        "native parser needs contiguous 1..N vocab ids"
+    )
+    blob = "\n".join(t for t, _ in ordered).encode()
+    vptr = lib.criteo_vocab_create(blob, len(blob))
+    try:
+        ints = np.empty((n, NUM_INT), np.float32)
+        cats = np.empty((n, NUM_CAT), np.int32)
+        labels = np.empty((n,), np.float32)
+        rows = lib.criteo_encode(
+            path.encode(), ctypes.c_void_p(vptr), n,
+            ints.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cats.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    finally:
+        lib.criteo_vocab_destroy(ctypes.c_void_p(vptr))
+    if rows < 0:
+        return None
+    return {
+        "int_features": ints[:rows],
+        "cat_features": cats[:rows],
+        "label": labels[:rows],
+    }
+
+
 def save_vocab(vocab: dict, path: str):
     with open(path, "wb") as f:
         pickle.dump(vocab, f)
