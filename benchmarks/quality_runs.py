@@ -124,7 +124,10 @@ def run_esmm(steps=3000):
         report(name, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
 
 
-def run_eges(steps=4000):
+def run_eges(steps=16000):
+    # GES/EGES average 3 embeddings into the hidden, splitting the gradient
+    # ~1/3 per table — they need ~4x BGE's steps to converge (measured:
+    # GES auc 0.72@4k, 0.89@8k, 0.98@12k, 0.99@16k on this graph)
     from recommender_tpu.graph.store import WeightedGraph
     from recommender_tpu.graph.walks import skipgram_batches
     from recommender_tpu.models.eges import EGES, GES, DeepWalk
