@@ -59,12 +59,6 @@ class Embedding(nn.Module):
         # and should go through ops.embedding_kernels.padded_scatter_add).
         return jnp.take(table, ids, axis=0)
 
-    def attend(self, query: jnp.ndarray) -> jnp.ndarray:
-        """Score query against all rows (sampled-softmax / retrieval path)."""
-        table = jnp.asarray(self.variables["params"]["embedding"])
-        return jnp.dot(query, table.T)
-
-
 def bag_combine(emb: jnp.ndarray, weights: jnp.ndarray, combiner: str) -> jnp.ndarray:
     """Combine a bag of embeddings [..., K, D] with weights [..., K] → [..., D].
 
