@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--window_size", type=int, default=5)
     p.add_argument("--num_negatives", type=int, default=5)
     p.add_argument("--meta_file", type=str, default="")
+    p.add_argument("--export", type=str, default="",
+                   help="write a serving bundle (npz) of trained item embeddings")
     args = p.parse_args(argv)
 
     mesh = build_mesh(args)
@@ -96,6 +98,21 @@ def main(argv=None):
     if triples is not None:
         auc = link_prediction_auc(model, state.params, triples)
         log_jsonl({"final": 1, "link_prediction_auc": auc})
+    if args.export:
+        import jax.numpy as jnp
+
+        from recommender_tpu.retrieval.export import export_serving_bundle
+
+        all_ids = {"target": jnp.arange(g.num_nodes, dtype=jnp.int32)}
+        if use_side:
+            all_ids["target_cat"] = jnp.asarray(side["cat"])
+            all_ids["target_brand"] = jnp.asarray(side["brand"])
+        hidden = model.apply({"params": state.params}, all_ids, method=model.get_hidden)
+        export_serving_bundle(
+            args.export, np.asarray(hidden),
+            metadata={"model": args.model_type, "embed_dim": args.embedding_size},
+        )
+        log_jsonl({"exported": args.export})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--num_random_walks", type=int, default=4)
     p.add_argument("--random_walk_length", type=int, default=2)
     p.add_argument("--top_k", type=int, default=10)
+    p.add_argument("--export", type=str, default="",
+                   help="write a serving bundle (npz) of trained item reprs")
     p.set_defaults(train_batch_size=32)
     args = p.parse_args(argv)
 
@@ -89,6 +91,19 @@ def main(argv=None):
     recs = recommend_topk(reprs, latest, seen, k=args.top_k)
     gt = ground_truth_matrix(test_item, g.num_items)
     log_jsonl({"final": 1, "hit_rate": hit_rate(recs, gt)})
+    if args.export:
+        from recommender_tpu.retrieval.export import export_serving_bundle
+
+        nbr, w = g.importance_neighbors(
+            np.arange(g.num_items), rng=rng,
+            num_neighbors=args.num_neighbors, num_walks=args.num_random_walks,
+            walk_length=args.random_walk_length,
+        )
+        export_serving_bundle(
+            args.export, reprs, nbr, w,
+            metadata={"model": "pinsage", "conv_out": args.conv_output_size},
+        )
+        log_jsonl({"exported": args.export})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

@@ -74,10 +74,15 @@ class Prefetcher:
                 if self._stop.is_set():
                     return
         finally:
-            try:
-                self._q.put_nowait(Prefetcher._END)
-            except queue.Full:
-                pass
+            # deliver the END marker even when the queue is full (blocking
+            # put_nowait would drop it and deadlock the consumer); give up
+            # only once the consumer called close()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(Prefetcher._END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self

@@ -43,15 +43,30 @@ def test_cli_esmm(capsys):
     assert '"cvr_auc"' in out and '"ctcvr_auc"' in out
 
 
-def test_cli_eges(capsys):
+def test_cli_eges(capsys, tmp_path):
+    export = str(tmp_path / "eges_bundle.npz")
     train_eges.main(COMMON + [
         "--model_type", "EGES", "--embedding_size", "16",
-        "--train_batch_size", "256",
+        "--train_batch_size", "256", "--export", export,
     ])
     assert '"loss"' in capsys.readouterr().out
+    from recommender_tpu.retrieval.export import load_serving_bundle
+
+    b = load_serving_bundle(export)
+    assert b["item_reprs"].shape[1] == 16
+    assert b["metadata"]["model"] == "EGES"
 
 
-def test_cli_pinsage(capsys):
-    train_pinsage.main(COMMON + ["--train_batch_size", "16", "--top_k", "5"])
+def test_cli_pinsage(capsys, tmp_path):
+    export = str(tmp_path / "pinsage_bundle.npz")
+    train_pinsage.main(COMMON + [
+        "--train_batch_size", "16", "--top_k", "5", "--export", export,
+    ])
     out = capsys.readouterr().out
     assert '"hit_rate"' in out
+    from recommender_tpu.retrieval.export import load_serving_bundle, serve_topk
+
+    b = load_serving_bundle(export)
+    assert "neighbor_ids" in b
+    recs = serve_topk(b, np.array([0, 1]), k=3)
+    assert recs.shape == (2, 3)

@@ -1,0 +1,69 @@
+"""Host input-pipeline utilities: batching, sharding, prefetcher lifecycle."""
+import threading
+import time
+
+import numpy as np
+
+from recommender_tpu.data.pipeline import (
+    Prefetcher,
+    batch_iterator,
+    prefetch_to_device,
+    shard_for_host,
+)
+
+
+def test_batch_iterator_epochs_and_remainder():
+    arrays = {"x": np.arange(10)}
+    batches = list(batch_iterator(arrays, 4, shuffle=False, epochs=2))
+    assert len(batches) == 4  # 2 per epoch, remainder dropped
+    assert batches[0]["x"].tolist() == [0, 1, 2, 3]
+    kept = list(batch_iterator(arrays, 4, shuffle=False, epochs=1, drop_remainder=False))
+    assert sum(len(b["x"]) for b in kept) == 10
+
+
+def test_batch_iterator_shuffle_deterministic():
+    arrays = {"x": np.arange(100)}
+    a = [b["x"] for b in batch_iterator(arrays, 10, seed=7, epochs=1)]
+    b = [b["x"] for b in batch_iterator(arrays, 10, seed=7, epochs=1)]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_shard_for_host_partition():
+    arrays = {"x": np.arange(10)}
+    shards = [shard_for_host(arrays, h, 3)["x"] for h in range(3)]
+    assert sorted(np.concatenate(shards).tolist()) == list(range(10))
+
+
+def test_prefetcher_order_and_shutdown():
+    it = iter(range(100))
+    p = prefetch_to_device(it, size=2)
+    got = [next(p) for _ in range(5)]
+    assert got == [0, 1, 2, 3, 4]
+    before = threading.active_count()
+    p.close()
+    time.sleep(0.3)
+    assert threading.active_count() <= before  # producer thread exited
+
+    # finite iterator drains to StopIteration
+    p2 = prefetch_to_device(iter([1, 2]), size=2)
+    assert list(p2) == [1, 2]
+
+
+def test_prefetcher_endless_iterator_no_leak():
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    p = prefetch_to_device(endless(), size=2)
+    assert next(p) == 0
+    p.close()
+    time.sleep(0.3)
+    # after close, iteration stops instead of blocking
+    try:
+        next(p)
+        stopped = False
+    except StopIteration:
+        stopped = True
+    assert stopped
