@@ -1,0 +1,56 @@
+"""Offline item-to-item retrieval from an exported serving bundle.
+
+The TPU-native endpoint that replaces the reference's PySpark map-reduce
+Convolve job (``pinsage/inference/inference.py``): the bundle already holds
+trained on-chip reprs; serving is one matmul + top-k.
+
+Usage:
+  python -m recommender_tpu.cli.serve --bundle bundle.npz --items 3,17,42
+  python -m recommender_tpu.cli.serve --bundle bundle.npz --all --out recs.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from recommender_tpu.retrieval.export import load_serving_bundle, serve_topk
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="serve top-k from a bundle")
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--items", type=str, default="",
+                    help="comma-separated query item ids")
+    ap.add_argument("--all", action="store_true", help="recommend for every item")
+    ap.add_argument("--top_k", type=int, default=10)
+    ap.add_argument("--out", type=str, default="", help="npz output (with --all)")
+    ap.add_argument("--batch_size", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    bundle = load_serving_bundle(args.bundle)
+    n = len(bundle["item_reprs"])
+    if args.all:
+        recs = np.concatenate(
+            [
+                serve_topk(bundle, np.arange(s, min(s + args.batch_size, n)), args.top_k)
+                for s in range(0, n, args.batch_size)
+            ],
+            axis=0,
+        )
+        if args.out:
+            np.savez_compressed(args.out, recommendations=recs)
+            print(json.dumps({"items": n, "top_k": args.top_k, "out": args.out}))
+        else:
+            print(json.dumps({"items": n, "top_k": args.top_k}))
+        return recs
+    ids = np.array([int(x) for x in args.items.split(",") if x != ""], np.int64)
+    recs = serve_topk(bundle, ids, args.top_k)
+    for i, r in zip(ids.tolist(), recs.tolist()):
+        print(json.dumps({"item": i, "recommendations": r}))
+    return recs
+
+
+if __name__ == "__main__":
+    main()

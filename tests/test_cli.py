@@ -70,3 +70,12 @@ def test_cli_pinsage(capsys, tmp_path):
     assert "neighbor_ids" in b
     recs = serve_topk(b, np.array([0, 1]), k=3)
     assert recs.shape == (2, 3)
+
+    # serve CLI over the same bundle
+    from recommender_tpu.cli import serve
+
+    out = serve.main(["--bundle", export, "--items", "0,1", "--top_k", "3"])
+    np.testing.assert_array_equal(out, recs)
+    all_out = str(tmp_path / "recs.npz")
+    serve.main(["--bundle", export, "--all", "--top_k", "2", "--out", all_out])
+    assert np.load(all_out)["recommendations"].shape[1] == 2
