@@ -146,17 +146,22 @@ class Trainer:
         if self.eval_fn is not None:
             eval_fn = self.eval_fn
 
-            def eval_step(state: TrainState, batch, auc: AUCState, mloss: MeanState):
+            def eval_step(
+                state: TrainState, batch, auc: AUCState, mloss: MeanState, acc: MeanState
+            ):
                 scores, labels = eval_fn(state.params, state.model_state, batch)
                 auc = auc_update(auc, scores, labels)
-                per_ex = mean_update(
+                mloss = mean_update(
                     mloss,
                     -(
                         labels * jnp.log(jnp.clip(scores, 1e-7, 1 - 1e-7))
                         + (1 - labels) * jnp.log1p(-jnp.clip(scores, 1e-7, 1 - 1e-7))
                     ),
                 )
-                return auc, per_ex
+                from recommender_tpu.core.metrics import accuracy_update
+
+                acc = accuracy_update(acc, scores, labels)
+                return auc, mloss, acc
 
             self._eval_step = jax.jit(eval_step)
         self._batch_sharding = batch_spec
@@ -277,16 +282,18 @@ class Trainer:
         assert self.eval_fn is not None, "no eval_fn configured"
         auc = AUCState.init()
         mloss = MeanState.init()
+        acc = MeanState.init()
         n = 0
         for batch in batches:
             if limit and n >= limit:
                 break
             batch = self.put_batch(batch)
-            auc, mloss = self._eval_step(state, batch, auc, mloss)
+            auc, mloss, acc = self._eval_step(state, batch, auc, mloss, acc)
             n += 1
         return {
             "eval_auc": float(auc_from_state(auc)),
             "eval_loss": float(mean_from_state(mloss)),
+            "eval_accuracy": float(mean_from_state(acc)),
             "eval_batches": n,
         }
 

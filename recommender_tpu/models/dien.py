@@ -90,13 +90,14 @@ class DIN(SequenceBase):
 class DIEN(SequenceBase):
     extract_hidden: int = 36
     evolve_hidden: int = 36
+    remat: bool = False  # rematerialize scan steps (long-history memory knob)
 
     def setup(self):
         super().setup()
-        self.extract_gru = GRU(hidden=self.extract_hidden)
+        self.extract_gru = GRU(hidden=self.extract_hidden, remat=self.remat)
         self.auxiliary_net = AuxiliaryNet()
         self.attention = DIENAttention()
-        self.evolve = AUGRU(hidden=self.evolve_hidden)
+        self.evolve = AUGRU(hidden=self.evolve_hidden, remat=self.remat)
 
     def __call__(self, batch: dict, *, train: bool = False):
         mask = (batch["pos_his_item"] != 0).astype(jnp.float32)

@@ -39,9 +39,14 @@ def _gru_step(h, x, w_gates, b_gates, w_cand, b_cand):
 
 
 class GRU(nn.Module):
-    """Masked GRU over [B, T, D]; returns all hidden states [B, T, H]."""
+    """Masked GRU over [B, T, D]; returns all hidden states [B, T, H].
+
+    ``remat=True`` rematerializes each scan step on the backward pass
+    (``jax.checkpoint``), trading ~1 extra forward of FLOPs for O(T) →
+    O(1) activation memory per step — the long-sequence growth path."""
 
     hidden: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -61,6 +66,8 @@ class GRU(nn.Module):
             carry = mt * new + (1.0 - mt) * carry
             return carry, carry
 
+        if self.remat:
+            step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
         _, hs = jax.lax.scan(step, h0, (xs, ms))
         return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
@@ -75,6 +82,7 @@ class AUGRU(nn.Module):
     """
 
     hidden: int
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -103,6 +111,8 @@ class AUGRU(nn.Module):
             carry = mt * new + (1.0 - mt) * carry
             return carry, None
 
+        if self.remat:
+            step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
         final, _ = jax.lax.scan(step, h0, (xs, as_, ms))
         return final

@@ -167,6 +167,22 @@ def test_augru_attention_gate():
     np.testing.assert_allclose(out0, 0.0, atol=1e-6)
 
 
+def test_gru_remat_identical_outputs_and_grads():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))
+    mask = jnp.ones((2, 5), jnp.float32)
+    plain = GRU(hidden=4)
+    remat = GRU(hidden=4, remat=True)
+    params = plain.init(jax.random.PRNGKey(0), x, mask)
+    out_p = plain.apply(params, x, mask)
+    out_r = remat.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-6)
+    g_p = jax.grad(lambda p: jnp.sum(plain.apply(p, x, mask) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(remat.apply(p, x, mask) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_dlrm_schedule():
     sched = dlrm_warmup_cosine(0.01, 20, 1000, 1e-4)
     assert abs(float(sched(0))) < 1e-9
