@@ -51,8 +51,8 @@ def main():
     loss_fn, eval_fn = make_ctr_task(model)
     cfg = TrainConfig(learning_rate=1e-3, log_every=10**9, eval_every=0)
     example = {k: v[:8] for k, v in host.items()}
-    variables = model.init(jax.random.PRNGKey(0), example)
-    pshard = param_shardings(variables["params"], mesh)
+    var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), example))
+    pshard = param_shardings(var_shapes["params"], mesh)
     trainer = Trainer(loss_fn, cfg, mesh=mesh, param_shardings=pshard, eval_fn=eval_fn)
     state = trainer.init_state(lambda: init_model(model, example))
 

@@ -42,8 +42,8 @@ def bench_mesh(data: int, model_axis: int, vocab: int) -> float:
     host = gen.sample(PER_DEVICE_BATCH * data, seed=1)
     loss_fn, eval_fn = make_ctr_task(model)
     ex = {k: v[:8] for k, v in host.items()}
-    variables = model.init(jax.random.PRNGKey(0), ex)
-    pshard = param_shardings(variables["params"], mesh)
+    var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ex))
+    pshard = param_shardings(var_shapes["params"], mesh)
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, param_shardings=pshard,
                  eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, ex))

@@ -70,8 +70,11 @@ def main(argv=None):
 
     loss_fn, eval_fn = make_ctr_task(model)
     example = next(train_iter)
-    variables = model.init(jax.random.PRNGKey(args.seed), example)
-    pshard = param_shardings(variables["params"], mesh)
+    # derive shardings from shapes only (no double param materialization)
+    var_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(args.seed), example)
+    )
+    pshard = param_shardings(var_shapes["params"], mesh)
     trainer = build_trainer(args, loss_fn, eval_fn, mesh, pshard)
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:

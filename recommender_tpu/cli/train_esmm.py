@@ -91,8 +91,11 @@ def main(argv=None):
     state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
 
     clicks = _round_to(click_only(test), ndata)
+    n_clicks = len(clicks["click"])
+    cvr_bs = min(args.test_batch_size, n_clicks) if n_clicks else ndata
+    cvr_bs = max((cvr_bs // ndata) * ndata, ndata)  # keep data-axis divisibility
     cvr_auc = evaluate_head(
-        trainer, state, batch_iterator(clicks, ndata, shuffle=False),
+        trainer, state, batch_iterator(clicks, cvr_bs, shuffle=False),
         make_head_eval(model, "cvr", "purchase"),
     )
     ctcvr_auc = evaluate_head(

@@ -149,15 +149,11 @@ class Trainer:
             def eval_step(
                 state: TrainState, batch, auc: AUCState, mloss: MeanState, acc: MeanState
             ):
+                from recommender_tpu.nn.losses import binary_cross_entropy
+
                 scores, labels = eval_fn(state.params, state.model_state, batch)
                 auc = auc_update(auc, scores, labels)
-                mloss = mean_update(
-                    mloss,
-                    -(
-                        labels * jnp.log(jnp.clip(scores, 1e-7, 1 - 1e-7))
-                        + (1 - labels) * jnp.log1p(-jnp.clip(scores, 1e-7, 1 - 1e-7))
-                    ),
-                )
+                mloss = mean_update(mloss, binary_cross_entropy(scores, labels))
                 from recommender_tpu.core.metrics import accuracy_update
 
                 acc = accuracy_update(acc, scores, labels)
@@ -258,6 +254,9 @@ class Trainer:
                 history.append(ev)
                 if log_fn:
                     log_fn(ev)
+                # eval wall-clock must not pollute the throughput window
+                t0 = time.perf_counter()
+                window_examples = 0
                 if cfg.early_stop_patience:
                     value = sign * ev.get(cfg.early_stop_metric, float("-inf"))
                     if best is None or value > best:
@@ -290,6 +289,11 @@ class Trainer:
             batch = self.put_batch(batch)
             auc, mloss, acc = self._eval_step(state, batch, auc, mloss, acc)
             n += 1
+        if n == 0:
+            raise ValueError(
+                "evaluate(): iterator yielded no batches — check that the eval "
+                "set is at least one (drop-remainder) batch long"
+            )
         return {
             "eval_auc": float(auc_from_state(auc)),
             "eval_loss": float(mean_from_state(mloss)),

@@ -56,6 +56,7 @@ class Prefetcher:
         self._stop = threading.Event()
         self._it = it
         self._put_fn = put_fn
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
@@ -73,6 +74,8 @@ class Prefetcher:
                         continue
                 if self._stop.is_set():
                     return
+        except BaseException as e:  # surfaced to the consumer in __next__
+            self._error = e
         finally:
             # deliver the END marker even when the queue is full (blocking
             # put_nowait would drop it and deadlock the consumer); give up
@@ -92,6 +95,8 @@ class Prefetcher:
             raise StopIteration
         item = self._q.get()
         if item is Prefetcher._END:
+            if self._error is not None:  # producer died — fail loudly
+                raise RuntimeError("prefetch producer failed") from self._error
             raise StopIteration
         return item
 

@@ -15,11 +15,9 @@ masked output cotangent — exactly the "model-parallel embedding" gradient
 This replaces the reference's replicated 1M×16 table under MirroredStrategy
 (``ctr/train.py:64-65``, SURVEY.md §2.6 "Embedding-table parallel").
 
-``unique_dedup_lookup`` adds the classic dedup optimisation: batches of
-recommender ids are heavily repeated (power-law), so we gather unique ids
-once and index into the small result — shrinking both the gather and the
-psum payload. The inverse mapping is computed with sort/searchsorted, all
-fixed-shape and jittable.
+``all_to_all_lookup`` is the bandwidth-optimal exchange (ids routed to the
+owning shard, vectors routed back); ``sort_coalesced_lookup`` feeds the
+backward pass sorted cotangents so duplicate updates coalesce per tile.
 """
 from __future__ import annotations
 
@@ -145,17 +143,18 @@ def all_to_all_lookup(
     return fn(table, ids)
 
 
-def unique_dedup_lookup(
+def sort_coalesced_lookup(
     table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh | None = None
 ) -> jnp.ndarray:
-    """Gather with duplicate-id coalescing.
+    """Gather through a sorted id order (duplicates become adjacent).
 
-    Sorts the flat id vector, gathers each *position* through the sorted
-    order, and lets the forward read duplicates from the single gathered
-    copy. The practical win is in the backward: the scatter-add touches
-    each unique row once per duplicate *after* XLA coalesces the sorted
-    adjacent updates, which it does far better than for random order.
-    Shapes are static (no ``jnp.unique`` under jit).
+    NOT a payload-reducing dedup: all N positions are still gathered (and,
+    in the sharded case, psum'd) — static shapes under jit rule out a true
+    unique(). What sorting buys is *backward* locality: the scatter-add
+    cotangent arrives sorted, so adjacent duplicate updates coalesce into
+    the same table rows/tiles (the precondition for
+    ``ops.embedding_kernels.sorted_scatter_add``). Use ``all_to_all_lookup``
+    when communication reduction is the goal.
     """
     flat = ids.reshape(-1)
     order = jnp.argsort(flat)

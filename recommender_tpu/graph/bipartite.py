@@ -181,7 +181,17 @@ def sample_block_batch(
     )
     nbr1, w1 = g.importance_neighbors(nodes, exclude=exclude, **kw)
     flat1 = np.concatenate([nodes[:, None], nbr1], axis=1).reshape(-1)
-    nbr2, w2 = g.importance_neighbors(flat1, **kw)
+    # leakage exclusion must hold at EVERY layer (the reference removes the
+    # head↔pos/neg edges from each per-layer frontier,
+    # data_loader.py:32-39): broadcast each seed's exclusion set to its
+    # whole layer-2 group (seed + its sampled neighbors) — conservative
+    # superset of the reference's per-edge removal, zero leakage.
+    exclude2 = (
+        np.repeat(np.atleast_2d(exclude), 1 + num_neighbors, axis=0)
+        if exclude is not None
+        else None
+    )
+    nbr2, w2 = g.importance_neighbors(flat1, exclude=exclude2, **kw)
     return BlockBatch(nodes, nbr1, w1, flat1.astype(np.int32), nbr2, w2)
 
 

@@ -7,7 +7,7 @@ from recommender_tpu.core.mesh import MeshSpec, make_mesh
 from recommender_tpu.embedding.sharded import (
     shard_table,
     sharded_lookup,
-    unique_dedup_lookup,
+    sort_coalesced_lookup,
 )
 
 
@@ -46,14 +46,14 @@ def test_dedup_lookup_matches_take(devices8):
     mesh = make_mesh(MeshSpec(data=2, model=4))
     t = _table(v=32, d=8)
     ids = np.array([[1, 1, 1, 2], [31, 0, 31, 7]], np.int32)
-    out = jax.jit(lambda tb, i: unique_dedup_lookup(tb, i, mesh))(
+    out = jax.jit(lambda tb, i: sort_coalesced_lookup(tb, i, mesh))(
         shard_table(jnp.asarray(t), mesh), jnp.asarray(ids)
     )
     np.testing.assert_allclose(np.asarray(out), t[ids], rtol=1e-6)
 
     # grad parity with plain take
     def loss_dedup(tb):
-        return jnp.sum(unique_dedup_lookup(tb, jnp.asarray(ids)) ** 2)
+        return jnp.sum(sort_coalesced_lookup(tb, jnp.asarray(ids)) ** 2)
 
     def loss_take(tb):
         return jnp.sum(jnp.take(tb, jnp.asarray(ids), axis=0) ** 2)

@@ -87,6 +87,27 @@ def test_block_batch_shapes():
     assert block.nbr2.shape == (24, 3)
 
 
+def test_block_batch_excludes_at_both_layers():
+    """Leakage exclusion must hold for layer-2 frontiers too
+    (reference removes head<->pos/neg edges from EVERY layer's frontier)."""
+    g, _, _ = _toy_graph()
+    rng = np.random.default_rng(0)
+    nodes = np.arange(8, dtype=np.int32)
+    # exclude, per seed, two specific nodes
+    exclude = np.stack([(nodes + 1) % g.num_items, (nodes + 2) % g.num_items], axis=1)
+    block = sample_block_batch(g, nodes, rng, exclude=exclude)
+    T = block.nbr1.shape[1]
+    for i in range(len(nodes)):
+        banned = set(exclude[i].tolist())
+        real1 = block.nbr1[i][block.w1[i] > 0]
+        assert not banned & set(real1.tolist())
+        # every layer-2 frontier in seed i's group is also clean
+        for j in range(1 + T):
+            row = i * (1 + T) + j
+            real2 = block.nbr2[row][block.w2[row] > 0]
+            assert not banned & set(real2.tolist())
+
+
 def test_pinsage_trains_and_retrieves():
     g, feats, item_comm = _toy_graph()
     model = PinSage(features=feats, embed_dim=8, conv_hidden=16, conv_out=16)

@@ -49,6 +49,21 @@ def test_prefetcher_order_and_shutdown():
     assert list(p2) == [1, 2]
 
 
+def test_prefetcher_propagates_producer_errors():
+    def broken():
+        yield 1
+        raise ValueError("corrupt shard")
+
+    p = prefetch_to_device(broken(), size=2)
+    assert next(p) == 1
+    try:
+        next(p)
+        raised = False
+    except RuntimeError as e:
+        raised = isinstance(e.__cause__, ValueError)
+    assert raised, "producer exception must surface, not silently stop"
+
+
 def test_prefetcher_endless_iterator_no_leak():
     def endless():
         i = 0
