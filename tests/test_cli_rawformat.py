@@ -1,0 +1,88 @@
+"""End-to-end CLI runs over reference-format RAW files (not --synthetic):
+Amazon Books TSV through train_dien, meta_Electronics JSON-lines through
+train_eges, Criteo TSV through prepare_criteo + train_ctr."""
+import json
+
+import numpy as np
+import pytest
+
+from recommender_tpu.cli import prepare_criteo, train_ctr, train_dien, train_eges
+
+COMMON = ["--steps", "8", "--log_every", "4", "--eval_every", "0"]
+
+
+def _amazon_tsv(path, n=400, items=40, cats=6, seed=0):
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i in range(n):
+        hist_len = rng.integers(2, 6)
+        his = [f"item{rng.integers(items)}" for _ in range(hist_len)]
+        cats_ = [f"cat{int(h[4:]) % cats}" for h in his]
+        tgt = f"item{rng.integers(items)}"
+        lines.append(
+            f"{i % 2}\tu{i}\t{tgt}\tcat{int(tgt[4:]) % cats}\t"
+            + "\x02".join(his) + "\t" + "\x02".join(cats_)
+        )
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_train_dien_raw_tsv(tmp_path, capsys):
+    train_f = tmp_path / "train.tsv"
+    test_f = tmp_path / "test.tsv"
+    _amazon_tsv(train_f, seed=0)
+    _amazon_tsv(test_f, n=200, seed=1)
+    train_dien.main(COMMON + [
+        "--model_type", "DIEN", "--train_file", str(train_f),
+        "--test_file", str(test_f), "--history_max_length", "8",
+        "--embedding_size", "8", "--train_batch_size", "64",
+        "--test_batch_size", "64", "--eval_batches", "2",
+    ])
+    out = capsys.readouterr().out
+    assert '"final"' in out and '"eval_auc"' in out
+
+
+def test_train_eges_raw_meta(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(60):
+        also = [f"A{int(x)}" for x in rng.integers(0, 60, 4)]
+        lines.append(json.dumps({
+            "asin": f"A{i}", "main_cat": f"cat{i % 5}",
+            "brand": f"b{i % 7}", "also_buy": also,
+        }))
+    meta = tmp_path / "meta.json"
+    meta.write_text("\n".join(lines) + "\n")
+    train_eges.main(COMMON + [
+        "--model_type", "GES", "--meta_file", str(meta),
+        "--embedding_size", "8", "--train_batch_size", "128",
+    ])
+    out = capsys.readouterr().out
+    assert '"link_prediction_auc"' in out
+
+
+def test_prepare_then_train_ctr(tmp_path, capsys):
+    from recommender_tpu.data.criteo import NUM_CAT, NUM_INT
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(600):
+        ints = ["" if rng.random() < 0.1 else str(int(rng.integers(0, 50)))
+                for _ in range(NUM_INT)]
+        cats = [f"c{j}_{int(rng.integers(5))}" for j in range(NUM_CAT)]
+        rows.append(str(int(rng.random() < 0.3)) + "\t" + "\t".join(ints)
+                    + "\t" + "\t".join(cats))
+    raw = tmp_path / "raw.tsv"
+    raw.write_text("\n".join(rows) + "\n")
+    out_dir = tmp_path / "data"
+    prepare_criteo.main([
+        "--train", str(raw), "--test", str(raw), "--out_dir", str(out_dir),
+        "--min_count", "2", "--shard_rows", "300",
+    ])
+    train_ctr.main(COMMON + [
+        "--model_type", "DLRM", "--data_dir", str(out_dir),
+        "--vocab", str(out_dir / "vocab.pkl"), "--vocab_size", "2000",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--eval_batches", "2",
+    ])
+    out = capsys.readouterr().out
+    assert '"final"' in out
