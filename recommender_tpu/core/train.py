@@ -66,6 +66,14 @@ class TrainConfig:
     early_stop_patience: int = 0
     early_stop_metric: str = "eval_auc"
     early_stop_mode: str = "max"
+    # Split the train step into a grads jit + an optimizer jit. In one fused
+    # graph XLA flips big narrow embedding tables to a column-major layout
+    # (tile-dense for Adam) which makes the row gather 4× slower and inserts
+    # layout-flip copies — 14.3 → 8.9 ms/step for DLRM b8192 on v5e. The
+    # second dispatch costs ~2.5 ms through the axon relay, so splitting
+    # only pays when such a table exists. None = auto-detect from the param
+    # tree on the first step (2-D leaf, ≥8M elements, ≤32 columns).
+    split_step: Optional[bool] = None
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -117,7 +125,11 @@ class Trainer:
         batch_spec = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
         rep = NamedSharding(mesh, P())
 
-        def train_step(state: TrainState, batch, rng):
+        # Two step flavors — see TrainConfig.split_step and the layout study
+        # in docs/DESIGN.md. The fused single-jit step is best for small
+        # models (one dispatch); the split grads|optimizer pair keeps
+        # row-major layouts for big narrow embedding tables (1.6× DLRM).
+        def fused_step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
 
             def scalar_loss(params):
@@ -141,7 +153,47 @@ class Trainer:
             metrics["loss"] = loss
             return new_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        def grad_step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def scalar_loss(params):
+                per_ex, aux, new_ms = loss_fn(
+                    params, state.model_state, batch, rng, True
+                )
+                return jnp.mean(per_ex), (aux, new_ms)
+
+            (loss, (aux, new_ms)), grads = jax.value_and_grad(
+                scalar_loss, has_aux=True
+            )(state.params)
+            metrics = dict(aux)
+            metrics["loss"] = loss
+            return grads, new_ms, metrics
+
+        def apply_step(state: TrainState, grads, new_ms):
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                model_state=new_ms,
+            )
+
+        self._fused_step = jax.jit(fused_step, donate_argnums=(0,))
+        self._grad_step = jax.jit(grad_step)
+        self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+        self._split = self.cfg.split_step
+
+        def train_step(state: TrainState, batch, rng):
+            if self._split is None:
+                self._split = _has_big_narrow_table(state.params)
+            if not self._split:
+                return self._fused_step(state, batch, rng)
+            grads, new_ms, metrics = self._grad_step(state, batch, rng)
+            new_state = self._apply_step(state, grads, new_ms)
+            return new_state, metrics
+
+        self._train_step = train_step
 
         if self.eval_fn is not None:
             eval_fn = self.eval_fn
@@ -329,6 +381,19 @@ class Trainer:
             step, args=ocp.args.StandardRestore(state_like)
         )
         return restored
+
+
+def _has_big_narrow_table(params) -> bool:
+    """True if any 2-D param is a big narrow embedding table — the shape
+    class that trips XLA's fused-graph layout assignment (see
+    TrainConfig.split_step; threshold shared with the Embedding lookup in
+    ops.embedding_kernels.is_big_narrow_table)."""
+    from recommender_tpu.ops.embedding_kernels import is_big_narrow_table
+
+    for leaf in jax.tree_util.tree_leaves(params):
+        if getattr(leaf, "ndim", 0) == 2 and is_big_narrow_table(leaf.shape):
+            return True
+    return False
 
 
 def _batch_size(batch) -> int:

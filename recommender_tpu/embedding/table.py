@@ -53,10 +53,20 @@ class Embedding(nn.Module):
             "embedding", init, (self.vocab_size, self.features), self.param_dtype
         )
         table = jnp.asarray(table)  # unbox partitioned param
-        # Plain take: inside a full train-step graph XLA already lowers the
-        # scatter-add backward to its fast wide-row path (measured equal to
-        # the padded-width trick in-model; standalone scatters are 3× slower
-        # and should go through ops.embedding_kernels.padded_scatter_add).
+        # Big narrow tables use the custom-VJP lookup (plain gather forward,
+        # padded-width scatter backward) and pair with the Trainer's split
+        # grads|optimizer step — 14.3 -> 8.9 ms/step for DLRM b8192 on v5e.
+        # Smaller/wider tables keep XLA's native take: inside their fused
+        # step XLA already picks tile-dense layouts, and the padded backward
+        # only adds pad/slice copies (DIEN regresses 4.0 -> 6.2 ms with it).
+        # Measurements: benchmarks/bench_kernels.py; design: docs/DESIGN.md.
+        from recommender_tpu.ops.embedding_kernels import (
+            embedding_lookup,
+            is_big_narrow_table,
+        )
+
+        if is_big_narrow_table(table.shape):
+            return embedding_lookup(table, ids)
         return jnp.take(table, ids, axis=0)
 
 def bag_combine(emb: jnp.ndarray, weights: jnp.ndarray, combiner: str) -> jnp.ndarray:

@@ -1,10 +1,20 @@
-"""Pallas TPU kernels for the embedding hot path (scatter-add gradients).
+"""TPU kernels for the embedding hot path (scatter-add gradients).
 
 Why: XLA lowers a 213k-row scatter-add (DLRM batch 8192 × 26 features into a
-1M×16 table) to a serial per-row loop — ~24 ms on a v5e chip, 40× slower
-than the rest of the train step combined. This is THE bottleneck the
-reference never hits (its tables are replicated and NCCL-reduced; ours take
-sparse gradients — SURVEY.md §2.7 item 1, BASELINE.json north star).
+1M×16 table) to a per-row path — ~22 ms on a v5e chip, slower than the rest
+of the train step combined. This is THE bottleneck the reference never hits
+(its tables are replicated and NCCL-reduced; ours take sparse gradients —
+SURVEY.md §2.7 item 1, BASELINE.json north star).
+
+Measured v5e numbers for every strategy live in
+``benchmarks/bench_kernels.py``; the production path is
+``embedding_lookup`` (fast gather forward + ``padded_scatter_add``
+backward, ~5 ms standalone / ~4 ms fused in the grad step). The Pallas
+scatter-as-matmul kernel below is kept as the injection point for
+row-sharded shard-local scatters (tile count shrinks 1/m per shard) and as
+the reference implementation of the sorted-stream formulation; at D=16 its
+one-hot matmuls run at 12.5% MXU utilization (N=16 of 128 lanes), so on a
+full-size table the padded XLA scatter wins (12.9 ms vs 5.3 ms measured).
 
 Design — **scatter-as-matmul** over a sorted, chunk-padded update stream:
 
@@ -23,12 +33,13 @@ Design — **scatter-as-matmul** over a sorted, chunk-padded update stream:
    consecutive chunks of one tile revisit the same VMEM block (classic
    accumulation pattern), which is why the stream is tile-sorted.
 
-Cost: ``ROW_TILE × Nchunks × CHUNK × D`` MXU FLOPs (≈50 GFLOP for the DLRM
-shape — ~0.3 ms at peak) + one pass over the updates and one table write.
-Measured ~1.5 ms vs ~24 ms for XLA scatter on v5e (see bench_kernels.py).
+Cost: ``ROW_TILE × Nchunks × CHUNK × D`` MXU FLOPs (≈47 GFLOP for the DLRM
+shape), but at D=16 only 16/128 output lanes are live → ~12.9 ms measured
+on v5e (`benchmarks/bench_kernels.py`). It beats XLA only when the live
+tile count is small (sharded tables) or D ≥ 64.
 
-Public entry: ``embedding_lookup`` — drop-in ``jnp.take`` with this kernel
-as the ``custom_vjp`` backward.
+Public entry: ``embedding_lookup`` — drop-in ``jnp.take`` with the padded
+scatter as the ``custom_vjp`` backward.
 """
 from __future__ import annotations
 
@@ -153,6 +164,24 @@ def padded_scatter_add(ids: jnp.ndarray, updates: jnp.ndarray, vocab_size: int):
 
 
 # ----------------------------------------------------------------- lookup VJP
+# Tables in this shape class (a) trip XLA's fused-graph layout assignment
+# (column-major flip -> 4x slower gather), so the Trainer splits the step
+# (TrainConfig.split_step), and (b) want the padded-width scatter backward.
+# Smaller/wider tables are better served by XLA's native take/scatter inside
+# one fused step — measured on v5e: DIEN 400k x 18 regresses 4.0 -> 6.2 ms
+# with the padded backward, DLRM 1M x 16 improves 14.3 -> 8.9 ms with it.
+BIG_NARROW_MIN_ELEMS = 8_000_000
+NARROW_MAX_COLS = 32
+
+
+def is_big_narrow_table(shape) -> bool:
+    return (
+        len(shape) == 2
+        and shape[1] <= NARROW_MAX_COLS
+        and shape[0] * shape[1] >= BIG_NARROW_MIN_ELEMS
+    )
+
+
 @jax.custom_vjp
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """``jnp.take(table, ids, axis=0)`` with a fast scatter-add backward
@@ -161,13 +190,16 @@ def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lookup_fwd(table, ids):
-    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+    # zero-size exemplar carries the table dtype into the bwd (a raw dtype
+    # object is not a valid pytree leaf for residuals)
+    proto = jnp.zeros((0,), table.dtype)
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0], proto)
 
 
 def _lookup_bwd(res, cot):
-    ids, vocab = res
+    ids, vocab, proto = res
     grad = padded_scatter_add(ids, cot, vocab)
-    return grad.astype(cot.dtype), None
+    return grad.astype(proto.dtype), None
 
 
 embedding_lookup.defvjp(_lookup_fwd, _lookup_bwd)

@@ -1,0 +1,42 @@
+"""The split grads|optimizer step (TrainConfig.split_step, the narrow-table
+layout-trap workaround — docs/DESIGN.md) is mathematically identical to the
+fused single-jit step, and the auto heuristic picks it only for big narrow
+embedding tables."""
+import jax
+import numpy as np
+
+from recommender_tpu.core.train import TrainConfig, Trainer, _has_big_narrow_table
+from recommender_tpu.data.pipeline import batch_iterator
+from recommender_tpu.data.synthetic import SyntheticCTR
+from recommender_tpu.models.dlrm import DLRM
+from recommender_tpu.models.tasks import init_model, make_ctr_task
+
+
+def _losses(split, steps=4):
+    gen = SyntheticCTR(vocab_size=128, seed=0)
+    train = gen.sample(256, seed=1)
+    model = DLRM(vocab_size=128, embed_dim=8, bottom_units=(16, 8), top_units=(16, 1))
+    loss_fn, eval_fn = make_ctr_task(model)
+    trainer = Trainer(
+        loss_fn,
+        TrainConfig(learning_rate=1e-2, log_every=1, split_step=split),
+        eval_fn=eval_fn,
+    )
+    example = {k: v[:8] for k, v in train.items()}
+    state = trainer.init_state(lambda: init_model(model, example))
+    it = batch_iterator(train, 64, seed=3, epochs=None)
+    state, hist = trainer.fit(state, it, steps=steps, prefetch=0)
+    return [h["loss"] for h in hist if "loss" in h]
+
+
+def test_split_matches_fused():
+    np.testing.assert_allclose(_losses(False), _losses(True), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_heuristic():
+    big = {"emb": jax.numpy.zeros((1_000_000, 16))}
+    small = {"emb": jax.numpy.zeros((100_000, 16)), "w": jax.numpy.zeros((745, 512))}
+    wide = {"emb": jax.numpy.zeros((1_000_000, 64))}
+    assert _has_big_narrow_table(big)
+    assert not _has_big_narrow_table(small)
+    assert not _has_big_narrow_table(wide)
