@@ -43,10 +43,16 @@ class GRU(nn.Module):
 
     ``remat=True`` rematerializes each scan step on the backward pass
     (``jax.checkpoint``), trading ~1 extra forward of FLOPs for O(T) →
-    O(1) activation memory per step — the long-sequence growth path."""
+    O(1) activation memory per step — the long-sequence growth path.
+
+    ``unroll`` replicates the step body inside the scan loop: at DIEN scale
+    (B=128, H=36) each step is a single tiny MXU call and the loop is
+    bound by per-iteration overhead, so unrolling several steps per
+    iteration is nearly free FLOPs-wise and cuts the scan wall-clock."""
 
     hidden: int
     remat: bool = False
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +75,7 @@ class GRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        _, hs = jax.lax.scan(step, h0, (xs, ms))
+        _, hs = jax.lax.scan(step, h0, (xs, ms), unroll=self.unroll)
         return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
@@ -83,6 +89,7 @@ class AUGRU(nn.Module):
 
     hidden: int
     remat: bool = False
+    unroll: int = 8  # see GRU.unroll
 
     @nn.compact
     def __call__(
@@ -114,5 +121,5 @@ class AUGRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        final, _ = jax.lax.scan(step, h0, (xs, as_, ms))
+        final, _ = jax.lax.scan(step, h0, (xs, as_, ms), unroll=self.unroll)
         return final

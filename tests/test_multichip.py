@@ -88,3 +88,34 @@ def test_eges_multichip(devices8):
     model = EGES(vocab_size=128, cat_vocab=8, brand_vocab=8, embed_dim=8,
                  partition="model")
     _run_one_step(model, batch, make_skipgram_task, devices8)
+
+
+def test_dlrm_multichip_split_step(devices8):
+    """The split grads|optimizer step AND the padded-scatter custom-VJP
+    lookup (both gated on is_big_narrow_table — vocab 512k x 16 crosses the
+    threshold) compose with GSPMD row-sharded tables on a (2x4) mesh."""
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    gen = SyntheticCTR(vocab_size=512_000, seed=0)
+    batch = gen.sample(16, seed=1)
+    model = DLRM(vocab_size=512_000, embed_dim=16, bottom_units=(16, 16),
+                 top_units=(16, 1), partition="model")
+    mesh = make_mesh(MeshSpec(2, 4))
+    loss_fn, _ = make_ctr_task(model)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = Trainer(
+        loss_fn,
+        TrainConfig(learning_rate=1e-3, split_step=True),
+        mesh=mesh,
+        param_shardings=pshard,
+    )
+    state = trainer.init_state(lambda: init_model(model, batch))
+    dev_batch = trainer.put_batch(batch)
+    for _ in range(2):
+        state, metrics = trainer._train_step(state, dev_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    emb = state.params["embedding"]["embedding"]
+    leaf = emb.value if hasattr(emb, "value") else emb
+    assert leaf.sharding.spec[0] == "model"
