@@ -1,12 +1,20 @@
 """End-to-end CLI runs over reference-format RAW files (not --synthetic):
 Amazon Books TSV through train_dien, meta_Electronics JSON-lines through
-train_eges, Criteo TSV through prepare_criteo + train_ctr."""
+train_eges, Criteo TSV through prepare_criteo + train_ctr, Ali-CCP
+skeleton/common-feature CSVs through prepare_aliccp + train_esmm."""
 import json
 
 import numpy as np
 import pytest
 
-from recommender_tpu.cli import prepare_criteo, train_ctr, train_dien, train_eges
+from recommender_tpu.cli import (
+    prepare_aliccp,
+    prepare_criteo,
+    train_ctr,
+    train_dien,
+    train_eges,
+    train_esmm,
+)
 
 COMMON = ["--steps", "8", "--log_every", "4", "--eval_every", "0"]
 
@@ -58,6 +66,62 @@ def test_train_eges_raw_meta(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert '"link_prediction_auc"' in out
+
+
+def _aliccp_raw(tmp_path, split, n, seed):
+    """Tiny reference-format pair: common_features CSV (key,feat_num,kv) and
+    sample_skeleton CSV (sample_id,click,buy,common_key,feat_num,kv) with
+    \\x01\\x02\\x03-separated k/v/weight triples."""
+    from recommender_tpu.data.aliccp import USE_COLUMNS
+
+    rng = np.random.default_rng(seed)
+    common_cols, sample_cols = USE_COLUMNS[:6], USE_COLUMNS[6:]
+
+    def kv_field(cols, tag):
+        return "\x01".join(
+            f"{c}\x02{tag}{c}_{int(rng.integers(4))}\x031.0" for c in cols
+        )
+
+    common_lines = [f"ck{g},{len(common_cols)},{kv_field(common_cols, 'u')}"
+                    for g in range(8)]
+    skel_lines = []
+    for i in range(n):
+        click = int(rng.random() < 0.4)
+        buy = int(click and rng.random() < 0.3)
+        skel_lines.append(
+            f"{i},{click},{buy},ck{int(rng.integers(8))},"
+            f"{len(sample_cols)},{kv_field(sample_cols, 'i')}"
+        )
+    common_f = tmp_path / f"common_{split}.csv"
+    skel_f = tmp_path / f"skeleton_{split}.csv"
+    common_f.write_text("\n".join(common_lines) + "\n")
+    skel_f.write_text("\n".join(skel_lines) + "\n")
+    return skel_f, common_f
+
+
+def test_prepare_then_train_esmm(tmp_path, capsys):
+    train_skel, train_common = _aliccp_raw(tmp_path, "train", 400, seed=0)
+    test_skel, test_common = _aliccp_raw(tmp_path, "test", 200, seed=1)
+    out_dir = tmp_path / "aliccp"
+    prepare_aliccp.main([
+        "--train_skeleton", str(train_skel), "--train_common", str(train_common),
+        "--test_skeleton", str(test_skel), "--test_common", str(test_common),
+        "--out_dir", str(out_dir), "--min_count", "2",
+    ])
+    for f in ("train_impressions.npz", "train_subsampled.npz",
+              "train_clicks.npz", "test.npz", "vocab.json"):
+        assert (out_dir / f).exists()
+    sub = dict(np.load(out_dir / "train_subsampled.npz"))
+    assert not ((sub["click"] == 0) & (sub["purchase"] == 1)).any()
+    train_esmm.main(COMMON + [
+        "--model_type", "ESMM",
+        "--train_npz", str(out_dir / "train_subsampled.npz"),
+        "--test_npz", str(out_dir / "test.npz"),
+        "--embedding_size", "8", "--train_batch_size", "64",
+        "--test_batch_size", "64",
+    ])
+    out = capsys.readouterr().out
+    assert '"cvr_auc"' in out and '"ctcvr_auc"' in out
 
 
 def test_prepare_then_train_ctr(tmp_path, capsys):
