@@ -124,6 +124,37 @@ def test_prepare_then_train_esmm(tmp_path, capsys):
     assert '"cvr_auc"' in out and '"ctcvr_auc"' in out
 
 
+def test_train_pinsage_raw_movielens(tmp_path, capsys):
+    """PinSage over reference ::-format ratings.dat/movies.dat
+    (pinsage/train/process_movielens.py input format)."""
+    from recommender_tpu.cli import train_pinsage
+
+    rng = np.random.default_rng(0)
+    num_users, num_items, num_comm = 60, 30, 3
+    movies = [
+        f"{m + 1}::Movie {m} ({1980 + m % 20})::"
+        + "|".join(sorted({f"G{m % 5}", f"G{(m // 5) % 5}"}))
+        for m in range(num_items)
+    ]
+    blocks = np.array_split(np.arange(num_items), num_comm)
+    ratings = []
+    for u in range(num_users):
+        pool = blocks[u % num_comm]
+        seen_items = rng.choice(pool, size=min(6, len(pool)), replace=False)
+        for t, it in enumerate(seen_items):
+            ratings.append(f"{u + 1}::{int(it) + 1}::{int(rng.integers(1, 6))}::{1000 + t}")
+    (tmp_path / "movies.dat").write_text("\n".join(movies) + "\n", encoding="latin-1")
+    (tmp_path / "ratings.dat").write_text("\n".join(ratings) + "\n", encoding="latin-1")
+
+    train_pinsage.main(COMMON + [
+        "--data_dir", str(tmp_path), "--embedding_size", "8",
+        "--conv_hidden_size", "16", "--conv_output_size", "8",
+        "--train_batch_size", "16",
+    ])
+    out = capsys.readouterr().out
+    assert '"hit_rate"' in out and '"final"' in out
+
+
 def test_prepare_then_train_ctr(tmp_path, capsys):
     from recommender_tpu.data.criteo import NUM_CAT, NUM_INT
 
