@@ -82,15 +82,20 @@ def main():
 
     e2e = jax.jit(
         lambda i, u: sorted_scatter_add(
-            jnp.sort(i), jnp.take(u, jnp.argsort(i), axis=0), VOCAB
+            jnp.sort(i), u, VOCAB, order=jnp.argsort(i).astype(jnp.int32)
         )
     )
     print(f"pallas_e2e     : {bench(e2e, ids, upd):7.2f} ms")
 
-    pre = jax.jit(
-        lambda s, u, o: sorted_scatter_add(s, jnp.take(u, o, axis=0), VOCAB)
-    )
+    pre = jax.jit(lambda s, u, o: sorted_scatter_add(s, u, VOCAB, order=o))
     print(f"presorted_e2e  : {bench(pre, sids, upd, order):7.2f} ms")
+
+    pre16 = jax.jit(
+        lambda s, u, o: sorted_scatter_add(
+            s, u, VOCAB, order=o, kernel_dtype=jnp.bfloat16
+        )
+    )
+    print(f"presorted_bf16 : {bench(pre16, sids, upd, order):7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -10,33 +10,34 @@ Measured v5e numbers for every strategy live in
 ``benchmarks/bench_kernels.py``; the production path is
 ``embedding_lookup`` (fast gather forward + ``padded_scatter_add``
 backward, ~5 ms standalone / ~4 ms fused in the grad step). The Pallas
-scatter-as-matmul kernel below is kept as the injection point for
-row-sharded shard-local scatters (tile count shrinks 1/m per shard) and as
-the reference implementation of the sorted-stream formulation; at D=16 its
-one-hot matmuls run at 12.5% MXU utilization (N=16 of 128 lanes), so on a
-full-size table the padded XLA scatter wins (12.9 ms vs 5.3 ms measured).
+scatter-as-matmul kernel below reaches ~4.1 ms for the same shape when the
+id argsort is precomputed (e.g. by the host input pipeline) — about even
+with the fused padded scatter once the cotangent reorder is paid — so it
+stays the injection point for row-sharded shard-local scatters (tile count
+shrinks 1/m per shard) rather than the default full-table path.
 
-Design — **scatter-as-matmul** over a sorted, chunk-padded update stream:
+Design — **packed scatter-as-matmul** over a sorted update array:
 
-1. sort update ids ascending (one bitonic sort of the flat id vector);
-2. partition the table into ``ROW_TILE``-row tiles; the sorted updates for
-   tile ``t`` form the contiguous range ``offsets[t]..offsets[t+1]``;
-3. re-pack the stream so every ``CHUNK`` of updates belongs to exactly one
-   tile (per-tile ranges padded up to whole chunks; empty tiles get one
-   all-pad chunk so every output block is initialized) — pure static-shape
-   vector ops + one gather;
-4. the kernel runs one grid step per chunk: Pallas pipelines the chunk's
-   ids+vectors into VMEM automatically, builds a one-hot
-   ``[ROW_TILE, CHUNK]`` mask on the VPU and accumulates
-   ``one_hot @ updates`` on the MXU into the tile's output block. The
-   output index map is driven by a scalar-prefetched ``chunk→tile`` array;
-   consecutive chunks of one tile revisit the same VMEM block (classic
-   accumulation pattern), which is why the stream is tile-sorted.
+1. sort update ids ascending (device argsort, or fold in a host-provided
+   permutation via ``order=``);
+2. partition the table into ``row_tile``-row tiles; the sorted updates for
+   tile ``t`` form the contiguous range ``offsets[t]..offsets[t+1]``,
+   covered by ``chunk``-aligned blocks of the update array — no padded
+   stream copy is materialized; a scalar-prefetched block map DMAs blocks
+   straight from the sorted array, and rows spilling across tile
+   boundaries self-mask (their one-hot row never matches);
+3. each grid step builds a one-hot ``[row_tile/pack, chunk]`` mask and a
+   lane-expanded ``[chunk, 128]`` update block (``pack = 128//d_eff`` table
+   rows per 128-lane vector row) and accumulates their product on the MXU
+   into the tile's packed output block — all 128 output lanes live at any
+   width (the unpacked formulation wastes 7/8 of the MXU at d=16);
+4. the packed [v_pad/pack, 128] result reshapes back to [v_pad, d_eff]
+   for free (identical row-major linearization).
 
-Cost: ``ROW_TILE × Nchunks × CHUNK × D`` MXU FLOPs (≈47 GFLOP for the DLRM
-shape), but at D=16 only 16/128 output lanes are live → ~12.9 ms measured
-on v5e (`benchmarks/bench_kernels.py`). It beats XLA only when the live
-tile count is small (sharded tables) or D ≥ 64.
+Measured (213k rows, D=16, 1M×16, v5e): 12.9 ms naive → 4.35 ms packed
+(f32, device-sorted input) → 4.07 ms bf16 with host-precomputed order,
+including the 1.3 ms cotangent reorder. The padded XLA scatter fused into
+the grads jit remains ~4 ms, so it stays the production default.
 
 Public entry: ``embedding_lookup`` — drop-in ``jnp.take`` with the padded
 scatter as the ``custom_vjp`` backward.
@@ -51,45 +52,124 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 2048  # table rows per output block
+ROW_TILE = 2048  # table rows per output block (pre-packing)
 CHUNK = 1024  # updates per grid step (1024-aligned for 1-D i32 tiling)
 
 _PAD_ID = np.int32(2**30)  # matches no tile row
 
 
-def _scatter_kernel(chunk_tile_ref, first_ref, ids_blk, upd_blk, out_ref):
+def _packed_scatter_kernel(
+    chunk_tile_ref, first_ref, live_ref, blk_ref, ids_blk, upd_blk, out_ref,
+    *, pack, d_eff, row_tile, chunk
+):
+    """One grid step = one CHUNK-aligned block of updates into one packed
+    output tile.
+
+    Two tricks make this MXU- and DMA-efficient at narrow widths:
+
+    * the output tile packs ``pack = 128 // d_eff`` consecutive table rows
+      per 128-lane vector row, so the one-hot accumulation matmul runs with
+      ALL output lanes live (the naive [ROW_TILE, CHUNK] @ [CHUNK, d]
+      formulation leaves d/128 of the MXU idle — 8× waste at d=16);
+    * input blocks are DMA'd straight out of the sorted update array by a
+      scalar-prefetched block map (``blk_ref``) instead of materializing a
+      chunk-padded copy of the stream in HBM (which costs a ~3.3×-inflated
+      45 MB gather for the DLRM shape). A tile's first/last block may carry
+      rows belonging to neighboring tiles; those ids fall outside
+      ``[row_base, row_base + ROW_TILE)`` so the one-hot row match drops
+      them for free — no explicit validity mask needed.
+    """
     ci = pl.program_id(0)
 
     @pl.when(first_ref[ci] == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    row_base = chunk_tile_ref[ci] * ROW_TILE
-    local = ids_blk[:] - row_base  # [CHUNK]; pad ids land far outside
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, CHUNK), 0)
-    one_hot = jnp.where(rows == local[None, :], 1.0, 0.0)
-    out_ref[:] += jnp.dot(one_hot, upd_blk[:], preferred_element_type=jnp.float32)
+    @pl.when(live_ref[ci] == 1)
+    def _():
+        packed_tile = row_tile // pack
+        row_base = chunk_tile_ref[ci] * row_tile
+        local = ids_blk[:] - row_base  # [CHUNK]; out-of-tile rows never match
+        prow = local // pack  # packed row inside the tile
+        sub = local - prow * pack  # lane-block slot (id % pack)
+        dtype = upd_blk.dtype
+        rows = jax.lax.broadcasted_iota(jnp.int32, (packed_tile, chunk), 0)
+        one_hot = jnp.where(rows == prow[None, :], 1.0, 0.0).astype(dtype)
+        # expand [CHUNK, d_eff] → [CHUNK, 128]: replicate across lane blocks,
+        # keep only the block selected by sub (pure VPU, no gather)
+        tiled = jnp.concatenate([upd_blk[:]] * pack, axis=1)
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) // d_eff
+        expanded = jnp.where(lane_blk == sub[:, None], tiled, jnp.zeros((), dtype))
+        out_ref[:] += jnp.dot(one_hot, expanded, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def _eff_width(d: int) -> int:
+    """Smallest power-of-two lane-block width ≥ d that divides 128."""
+    w = 8
+    while w < d:
+        w *= 2
+    return w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_size", "kernel_dtype", "row_tile", "chunk"),
+)
 def sorted_scatter_add(
-    sorted_ids: jnp.ndarray, sorted_updates: jnp.ndarray, vocab_size: int
+    sorted_ids: jnp.ndarray,
+    updates: jnp.ndarray,
+    vocab_size: int,
+    order: jnp.ndarray | None = None,
+    kernel_dtype=jnp.float32,
+    row_tile: int = ROW_TILE,
+    chunk: int = CHUNK,
 ) -> jnp.ndarray:
     """Σ updates into a fresh [vocab_size, D] f32 table.
 
-    ``sorted_ids`` [N] ascending int32 (entries ≥ vocab_size are dropped),
-    ``sorted_updates`` [N, D].
-    """
-    n, d = sorted_updates.shape
-    v_pad = ((vocab_size + ROW_TILE - 1) // ROW_TILE) * ROW_TILE
-    num_tiles = v_pad // ROW_TILE
-    # max chunks: every tile may have one partial chunk + its full chunks
-    num_chunks = num_tiles + (n + CHUNK - 1) // CHUNK
+    ``sorted_ids`` [N] ascending int32 (entries ≥ vocab_size are dropped).
+    ``updates`` [N, D]: already in sorted order when ``order`` is None;
+    otherwise in original order and ``order`` [N] is the permutation such
+    that ``updates[order]`` is sorted (one materialized ``jnp.take`` here —
+    composing it into the kernel's block reads instead would turn their
+    quasi-sequential DMA into a random gather, measured ~3 ms slower).
+    A host-precomputed argsort (``data/pipeline.py``) thus skips the device
+    sort and pays only the reorder.
 
-    tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * ROW_TILE
+    ``kernel_dtype=jnp.bfloat16`` rounds each update to bf16 before the
+    one-hot accumulation matmul (accumulation itself stays f32 via
+    ``preferred_element_type``) — 2× MXU throughput for ~2^-8 relative
+    rounding on individual gradient contributions.
+    """
+    n, d = updates.shape
+    if order is not None:
+        updates = jnp.take(updates, order, axis=0)
+    if d > 128:  # wide tables: XLA's native scatter is already lane-saturated
+        return jnp.zeros((vocab_size, d), jnp.float32).at[sorted_ids].add(updates)
+    d_eff = _eff_width(d)
+    pack = 128 // d_eff
+    if d_eff != d:
+        updates = jnp.pad(updates, ((0, 0), (0, d_eff - d)))
+    # tail-pad so every block index a tile range can produce stays in bounds
+    n_blocks = n // chunk + 2
+    n_pad = n_blocks * chunk
+    ids_p = jnp.concatenate(
+        [sorted_ids.astype(jnp.int32), jnp.full((n_pad - n,), _PAD_ID, jnp.int32)]
+    )
+    upd_p = jnp.concatenate(
+        [updates.astype(kernel_dtype), jnp.zeros((n_pad - n, d_eff), kernel_dtype)]
+    )
+
+    v_pad = ((vocab_size + row_tile - 1) // row_tile) * row_tile
+    num_tiles = v_pad // row_tile
+    # static bound: each tile needs ≤ n_t/CHUNK + 1 blocks (+1 for empties)
+    num_chunks = num_tiles + (n + chunk - 1) // chunk
+
+    tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * row_tile
     offsets = jnp.searchsorted(sorted_ids, tile_bounds, side="left").astype(jnp.int32)
     n_t = offsets[1:] - offsets[:-1]  # updates per tile
-    chunks_t = jnp.maximum((n_t + CHUNK - 1) // CHUNK, 1)  # ≥1 so every block inits
+    b0 = offsets[:-1] // chunk  # first block overlapping the tile's range
+    b1 = (offsets[1:] + chunk - 1) // chunk  # one past the last block
+    chunks_t = jnp.maximum(b1 - b0, 1)  # ≥1 so every output block zero-inits
     chunk_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks_t).astype(jnp.int32)]
     )  # [T+1]
@@ -102,43 +182,49 @@ def sorted_scatter_add(
     )
     is_real = ci < chunk_off[num_tiles]
     first = (ci == chunk_off[tile_of]) & is_real
-    within = ci - chunk_off[tile_of]  # chunk index inside the tile
-
-    # gather the chunk-padded stream
-    pos = jnp.arange(CHUNK, dtype=jnp.int32)
-    src = offsets[tile_of][:, None] + within[:, None] * CHUNK + pos[None, :]
-    valid = is_real[:, None] & (src < offsets[tile_of + 1][:, None])
-    src_c = jnp.minimum(src, jnp.maximum(n - 1, 0)).reshape(-1)
-    ids_stream = jnp.where(valid.reshape(-1), sorted_ids[src_c], _PAD_ID)
-    upd_stream = jnp.where(
-        valid.reshape(-1)[:, None],
-        jnp.take(sorted_updates, src_c, axis=0),
-        0.0,
-    ).astype(jnp.float32)
+    within = ci - chunk_off[tile_of]  # block index inside the tile's range
+    live = is_real & (n_t[tile_of] > 0) & (b0[tile_of] + within < b1[tile_of])
+    blk = jnp.clip(b0[tile_of] + within, 0, n_blocks - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk→tile map, first-chunk flags
+        num_scalar_prefetch=4,  # chunk→tile, first flags, live flags, block map
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda ci, ct, fr: (ci,)),
-            pl.BlockSpec((CHUNK, d), lambda ci, ct, fr: (ci, 0)),
+            pl.BlockSpec((chunk,), lambda ci, ct, fr, lv, bk: (bk[ci],)),
+            pl.BlockSpec((chunk, d_eff), lambda ci, ct, fr, lv, bk: (bk[ci], 0)),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE, d), lambda ci, ct, fr: (ct[ci], 0)),
+        out_specs=pl.BlockSpec(
+            (row_tile // pack, 128), lambda ci, ct, fr, lv, bk: (ct[ci], 0)
+        ),
     )
     out = pl.pallas_call(
-        _scatter_kernel,
+        functools.partial(
+            _packed_scatter_kernel,
+            pack=pack,
+            d_eff=d_eff,
+            row_tile=row_tile,
+            chunk=chunk,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, d), jnp.float32),
-    )(tile_of, first.astype(jnp.int32), ids_stream, upd_stream)
-    return out[:vocab_size]
+        out_shape=jax.ShapeDtypeStruct((v_pad // pack, 128), jnp.float32),
+    )(
+        tile_of,
+        first.astype(jnp.int32),
+        live.astype(jnp.int32),
+        blk,
+        ids_p,
+        upd_p,
+    )
+    # [v_pad//pack, 128] row-major is bit-identical to [v_pad, d_eff] row-major
+    return out.reshape(v_pad, d_eff)[:vocab_size, :d]
 
 
 def scatter_add_dense(ids: jnp.ndarray, updates: jnp.ndarray, vocab_size: int):
     """Sort + kernel scatter: the full sparse-grad path (any id shape)."""
     flat = ids.reshape(-1).astype(jnp.int32)
     upd = updates.reshape(-1, updates.shape[-1])
-    order = jnp.argsort(flat)
-    return sorted_scatter_add(flat[order], jnp.take(upd, order, axis=0), vocab_size)
+    order = jnp.argsort(flat).astype(jnp.int32)
+    return sorted_scatter_add(flat[order], upd, vocab_size, order=order)
 
 
 # ------------------------------------------------- fast narrow-width scatter

@@ -69,3 +69,51 @@ def test_pallas_sorted_scatter_interpret(monkeypatch):
     want = np.zeros((V, D), np.float32)
     np.add.at(want, ids, upd)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_packed_scatter_order_and_odd_width(monkeypatch):
+    """order= path (host-argsort folded into the stream gather) and a width
+    that needs lane-block padding (D=18 -> d_eff=32)."""
+    from jax.experimental import pallas as pl
+    import recommender_tpu.ops.embedding_kernels as ek
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    rng = np.random.default_rng(4)
+    for D in (18, 16):
+        V, N = 4100, 2500
+        ids = rng.integers(0, V, N).astype(np.int32)
+        upd = rng.normal(size=(N, D)).astype(np.float32)
+        order = np.argsort(ids, kind="stable").astype(np.int32)
+        got = ek.sorted_scatter_add(
+            jnp.asarray(ids[order]), jnp.asarray(upd), V, order=jnp.asarray(order)
+        )
+        want = np.zeros((V, D), np.float32)
+        np.add.at(want, ids, upd)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_scatter_add_dense_matches_numpy(monkeypatch):
+    from jax.experimental import pallas as pl
+    import recommender_tpu.ops.embedding_kernels as ek
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    rng = np.random.default_rng(5)
+    V, D, N = 3000, 8, 1700
+    ids = rng.integers(0, V, (N,)).astype(np.int32)
+    upd = rng.normal(size=(N, D)).astype(np.float32)
+    got = ek.scatter_add_dense(jnp.asarray(ids), jnp.asarray(upd), V)
+    want = np.zeros((V, D), np.float32)
+    np.add.at(want, ids, upd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
