@@ -25,16 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _gru_step(h, x, w_gates, b_gates, w_cand, b_cand):
-    """One GRU step. h [B,H], x [B,D] → new h.
+def _gru_step_hoisted(h, zr_x, c_x, wh_gates, wh_cand):
+    """One GRU step with the input projections precomputed. h [B,H];
+    ``zr_x = x @ w_gates[h:] + b_gates`` and ``c_x = x @ w_cand[:d] + b_cand``
+    are hoisted out of the scan as single [B·T, D] matmuls (the classic
+    RNN-on-accelerator optimization: only the h-dependent half of each gate
+    matmul is inherently sequential). Identical math to
+    ``concat([h, x]) @ w_gates`` — pure reassociation of the same params.
 
     z = sigma(W_z [h,x]), r = sigma(W_r [h,x]),
     c = tanh(W_c [x, r*h]), h' = (1-z)*h + z*c.
     """
-    hidden = h.shape[-1]
-    zr = jnp.dot(jnp.concatenate([h, x], axis=-1), w_gates) + b_gates
+    zr = jnp.dot(h, wh_gates) + zr_x
     z, r = jnp.split(jax.nn.sigmoid(zr), 2, axis=-1)
-    c = jnp.tanh(jnp.dot(jnp.concatenate([x, r * h], axis=-1), w_cand) + b_cand)
+    c = jnp.tanh(jnp.dot(r * h, wh_cand) + c_x)
     return (1.0 - z) * h + z * c
 
 
@@ -65,17 +69,22 @@ class GRU(nn.Module):
 
         xs = jnp.swapaxes(x, 0, 1)  # [T, B, D]
         ms = jnp.swapaxes(mask.astype(x.dtype), 0, 1)[..., None]  # [T, B, 1]
+        # hoist input projections: one big MXU matmul over all T·B rows
+        # (w_gates rows 0..h-1 multiply h, rows h.. multiply x — see
+        # _gru_step_hoisted; param layout matches concat([h, x]) @ w_gates)
+        zr_x = jnp.einsum("tbd,dk->tbk", xs, w_gates[h:]) + b_gates
+        c_x = jnp.einsum("tbd,dk->tbk", xs, w_cand[:d]) + b_cand
 
         def step(carry, inp):
-            xt, mt = inp
-            new = _gru_step(carry, xt, w_gates, b_gates, w_cand, b_cand)
+            zr_t, c_t, mt = inp
+            new = _gru_step_hoisted(carry, zr_t, c_t, w_gates[:h], w_cand[d:])
             carry = mt * new + (1.0 - mt) * carry
             return carry, carry
 
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        _, hs = jax.lax.scan(step, h0, (xs, ms), unroll=self.unroll)
+        _, hs = jax.lax.scan(step, h0, (zr_x, c_x, ms), unroll=self.unroll)
         return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
@@ -105,14 +114,15 @@ class AUGRU(nn.Module):
         xs = jnp.swapaxes(x, 0, 1)  # [T, B, D]
         as_ = jnp.swapaxes(att, 0, 1)  # [T, B, 1]
         ms = jnp.swapaxes(mask.astype(x.dtype), 0, 1)[..., None]  # [T, B, 1]
+        # hoisted input projections — see _gru_step_hoisted
+        zr_x = jnp.einsum("tbd,dk->tbk", xs, w_gates[h:]) + b_gates
+        c_x = jnp.einsum("tbd,dk->tbk", xs, w_cand[:d]) + b_cand
 
         def step(carry, inp):
-            xt, at, mt = inp
-            zr = jnp.dot(jnp.concatenate([carry, xt], axis=-1), w_gates) + b_gates
+            zr_t, c_t, at, mt = inp
+            zr = jnp.dot(carry, w_gates[:h]) + zr_t
             z, r = jnp.split(jax.nn.sigmoid(zr), 2, axis=-1)
-            c = jnp.tanh(
-                jnp.dot(jnp.concatenate([xt, r * carry], axis=-1), w_cand) + b_cand
-            )
+            c = jnp.tanh(jnp.dot(r * carry, w_cand[d:]) + c_t)
             za = z * at  # attention-scaled update gate (AUGRU)
             new = za * c + (1.0 - za) * carry
             carry = mt * new + (1.0 - mt) * carry
@@ -121,5 +131,5 @@ class AUGRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        final, _ = jax.lax.scan(step, h0, (xs, as_, ms), unroll=self.unroll)
+        final, _ = jax.lax.scan(step, h0, (zr_x, c_x, as_, ms), unroll=self.unroll)
         return final
