@@ -86,11 +86,10 @@ def bench_deepfm():
     report("deepfm_criteo_b8192", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
-def bench_dien():
+def bench_dien(B=128, T=100):  # reference protocol: batch 128, history 100
     from recommender_tpu.data.synthetic import SyntheticSequence
     from recommender_tpu.models.dien import DIEN
 
-    B, T = 128, 100  # reference protocol: batch 128, history 100
     gen = SyntheticSequence(num_items=400_000, num_cats=1500, max_len=T, seed=0)
     host = gen.sample(B, seed=1)
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
@@ -98,7 +97,13 @@ def bench_dien():
     loss_fn, eval_fn = make_aux_loss_task(model)
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
-    report("dien_amazon_b128_T100", _bench_steps(tr, state, tr.put_batch(host)), B)
+    report(f"dien_amazon_b{B}_T{T}", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_dien_large():
+    """Large-batch DIEN: big enough histories (2x 102k ids/call) that the
+    volume-gated padded-scatter backward kicks in (use_padded_backward)."""
+    bench_dien(B=1024)
 
 
 def bench_mmoe():
@@ -194,6 +199,8 @@ def bench_pinsage():
 if __name__ == "__main__":
     import sys
 
-    which = sys.argv[1:] or ["dlrm", "deepfm", "dien", "mmoe", "eges", "pinsage"]
+    which = sys.argv[1:] or [
+        "dlrm", "deepfm", "dien", "dien_large", "mmoe", "eges", "pinsage",
+    ]
     for name in which:
         globals()[f"bench_{name}"]()

@@ -53,19 +53,21 @@ class Embedding(nn.Module):
             "embedding", init, (self.vocab_size, self.features), self.param_dtype
         )
         table = jnp.asarray(table)  # unbox partitioned param
-        # Big narrow tables use the custom-VJP lookup (plain gather forward,
-        # padded-width scatter backward) and pair with the Trainer's split
-        # grads|optimizer step — 14.3 -> 8.9 ms/step for DLRM b8192 on v5e.
-        # Smaller/wider tables keep XLA's native take: inside their fused
-        # step XLA already picks tile-dense layouts, and the padded backward
-        # only adds pad/slice copies (DIEN regresses 4.0 -> 6.2 ms with it).
+        # Narrow tables take the custom-VJP lookup (plain gather forward,
+        # padded-width scatter backward) when the table is big-narrow
+        # (layout-flip class, pairs with the Trainer's split step: DLRM
+        # 14.3 -> 8.9 ms/step) OR when THIS call scatters enough rows that
+        # XLA's 4x-slow narrow scatter dominates the padding overhead
+        # (DIEN b1024 histories: 23.1 -> 14.0 ms/step). Small lookups keep
+        # the native take — the padded backward's pad/slice copies regress
+        # them (DIEN b128: 3.9 -> 6.2 ms).
         # Measurements: benchmarks/bench_kernels.py; design: docs/DESIGN.md.
         from recommender_tpu.ops.embedding_kernels import (
             embedding_lookup,
-            is_big_narrow_table,
+            use_padded_backward,
         )
 
-        if is_big_narrow_table(table.shape):
+        if use_padded_backward(table.shape, ids.size):
             return embedding_lookup(table, ids)
         return jnp.take(table, ids, axis=0)
 

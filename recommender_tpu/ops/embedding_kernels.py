@@ -268,6 +268,27 @@ def is_big_narrow_table(shape) -> bool:
     )
 
 
+# Below this many ids per lookup the padded backward's extra pad/slice
+# copies outweigh the scatter win (measured on v5e, DIEN 400k×18 per-call
+# history lookups: 25.6k ids/call native 6.2 vs padded 9.1 ms/step at
+# b256; 51.2k ids/call native 11.4 vs padded 7.7 at b512; 102k ids/call
+# native 23.9 vs padded 14.0 at b1024).
+PADDED_BWD_MIN_IDS = 32_768
+
+
+def use_padded_backward(table_shape, n_ids: int) -> bool:
+    """Static per-lookup choice of the padded-scatter custom-VJP backward.
+
+    Narrow tables (cols < 64, XLA's slow-scatter regime) take it when the
+    table is in the big-narrow class (layout-flip problem — always worth it,
+    see the Trainer's split step) OR when this call scatters enough rows
+    that the 4× slow native path dominates the padding overhead.
+    """
+    if len(table_shape) != 2 or table_shape[1] >= _FAST_WIDTH:
+        return False
+    return is_big_narrow_table(table_shape) or n_ids >= PADDED_BWD_MIN_IDS
+
+
 @jax.custom_vjp
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """``jnp.take(table, ids, axis=0)`` with a fast scatter-add backward

@@ -117,3 +117,20 @@ def test_scatter_add_dense_matches_numpy(monkeypatch):
     want = np.zeros((V, D), np.float32)
     np.add.at(want, ids, upd)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_use_padded_backward_gate():
+    """Per-lookup padded-backward selection (v5e crossover measurements in
+    ops/embedding_kernels.py): big-narrow tables always, other narrow tables
+    only above the per-call id-volume threshold, wide tables never."""
+    from recommender_tpu.ops.embedding_kernels import (
+        PADDED_BWD_MIN_IDS,
+        use_padded_backward,
+    )
+
+    assert use_padded_backward((1_000_000, 16), 128)  # big-narrow: always
+    # mid-size narrow table (DIEN 400k x 18): volume-gated
+    assert not use_padded_backward((400_000, 18), PADDED_BWD_MIN_IDS - 1)
+    assert use_padded_backward((400_000, 18), PADDED_BWD_MIN_IDS)
+    assert not use_padded_backward((400_000, 64), 10_000_000)  # wide: never
+    assert not use_padded_backward((400_000,), 10_000_000)  # not a table
