@@ -24,6 +24,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Sequences up to this length unroll fully (no loop at all). Measured on
+# v5e, GRU+AUGRU fwd+bwd B=1024 T=100 H=36: unroll 8 → 4.6 ms, 20 → 4.4,
+# 50 → 5.6, full → 2.1 ms. Partial unrolls beyond ~20 regress before full
+# unroll wins, so the policy is binary: full if short, else the default
+# window. Longer sequences keep the scan to bound compile time/code size.
+FULL_UNROLL_MAX_T = 128
+
+
+def _effective_unroll(unroll, t: int) -> int:
+    return t if (unroll is None and t <= FULL_UNROLL_MAX_T) else (unroll or 8)
+
 
 def _gru_step_hoisted(h, zr_x, c_x, wh_gates, wh_cand):
     """One GRU step with the input projections precomputed. h [B,H];
@@ -51,12 +62,13 @@ class GRU(nn.Module):
 
     ``unroll`` replicates the step body inside the scan loop: at DIEN scale
     (B=128, H=36) each step is a single tiny MXU call and the loop is
-    bound by per-iteration overhead, so unrolling several steps per
-    iteration is nearly free FLOPs-wise and cuts the scan wall-clock."""
+    bound by per-iteration overhead. ``None`` (default) = auto: unroll
+    FULLY for T ≤ FULL_UNROLL_MAX_T (2.2× on the recurrence, see module
+    constants), else window of 8; an int forces that window."""
 
     hidden: int
     remat: bool = False
-    unroll: int = 8
+    unroll: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +96,8 @@ class GRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        _, hs = jax.lax.scan(step, h0, (zr_x, c_x, ms), unroll=self.unroll)
+        unroll = _effective_unroll(self.unroll, t)
+        _, hs = jax.lax.scan(step, h0, (zr_x, c_x, ms), unroll=unroll)
         return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
@@ -98,7 +111,7 @@ class AUGRU(nn.Module):
 
     hidden: int
     remat: bool = False
-    unroll: int = 8  # see GRU.unroll
+    unroll: int | None = None  # see GRU.unroll
 
     @nn.compact
     def __call__(
@@ -131,5 +144,6 @@ class AUGRU(nn.Module):
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
-        final, _ = jax.lax.scan(step, h0, (zr_x, c_x, as_, ms), unroll=self.unroll)
+        unroll = _effective_unroll(self.unroll, t)
+        final, _ = jax.lax.scan(step, h0, (zr_x, c_x, as_, ms), unroll=unroll)
         return final
