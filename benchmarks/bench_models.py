@@ -181,18 +181,28 @@ def bench_pinsage():
     it = pinsage_train_batches(g, B, seed=0)
     example = next(it)
     state = tr.init_state(lambda: init_model(model, example))
-    # full pipeline: host sampling + device step
+    # full pipeline: host sampling + H2D prefetch + device step — the same
+    # threaded prefetch_to_device Trainer.fit uses, so sampling and the
+    # axon-relay transfer overlap the device step instead of serializing
+    # (unprefetched: ~7-10 ms/step, almost all of it per-step transfer)
+    from recommender_tpu.data.pipeline import prefetch_to_device
+
     rng_key = jax.random.PRNGKey(0)
     step = tr._train_step
     state, m = step(state, tr.put_batch(example), rng_key)
     float(m["loss"])
-    t0 = time.perf_counter()
-    n_steps = 30
-    for _ in range(n_steps):
-        b = next(it)
-        state, m = step(state, tr.put_batch(b), rng_key)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / n_steps
+    pf = prefetch_to_device(it, size=2, put_fn=tr.put_batch)
+    try:
+        state, m = step(state, next(pf), rng_key)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        n_steps = 30
+        for _ in range(n_steps):
+            state, m = step(state, next(pf), rng_key)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / n_steps
+    finally:
+        pf.close()
     report("pinsage_ml1m_b32_endtoend", dt, B)
 
 
