@@ -52,7 +52,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 2048  # table rows per output block (pre-packing)
+ROW_TILE = 8192  # table rows per output block (pre-packing; flat optimum of
+# the benchmarks/bench_kernels.py sweep — 4.8 ms vs 5.6 at 2048 for the
+# DLRM 213k-row shape)
 CHUNK = 1024  # updates per grid step (1024-aligned for 1-D i32 tiling)
 
 _PAD_ID = np.int32(2**30)  # matches no tile row
@@ -310,3 +312,12 @@ def _lookup_bwd(res, cot):
 
 
 embedding_lookup.defvjp(_lookup_fwd, _lookup_bwd)
+
+# A third lookup flavor — backward through ``sorted_scatter_add`` with a
+# host-precomputed id argsort riding in the batch — was built and measured
+# (2026-08-18): standalone the packed kernel beats the padded scatter
+# (4.8 vs 8.1 ms on the DLRM 213k-row shape), but inside the grads jit XLA
+# fuses the pad+scatter into the cotangent producer (~4.8 ms) while the
+# Pallas path pays a 1.3 ms materialized cotangent reorder — net step time
+# tied (925k vs 931k ex/s), so it was dropped. Re-evaluate per-shard
+# (model-parallel tables shrink the live tile count by 1/m) or at D≥32.
