@@ -79,6 +79,13 @@ def main(argv=None):
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:
         state = trainer.restore(state)
+        if args.synthetic or not args.data_dir:
+            # resume the data stream where the restored step left off (+1
+            # for the example batch init consumed from the fresh stream)
+            train_iter = batch_iterator(
+                train_arrays, args.train_batch_size, seed=args.seed,
+                epochs=None, start_batch=int(state.step) + 1,
+            )
 
     state, _ = trainer.fit(
         state, train_iter, steps=args.steps,

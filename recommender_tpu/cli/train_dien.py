@@ -74,6 +74,13 @@ def main(argv=None):
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:
         state = trainer.restore(state)
+        if args.synthetic or not args.train_file:
+            # resume the data stream where the restored step left off (+1
+            # for the example batch init consumed from the fresh stream)
+            train_iter = batch_iterator(
+                train_arrays, args.train_batch_size, seed=args.seed,
+                epochs=None, start_batch=int(state.step) + 1,
+            )
     state, _ = trainer.fit(
         state, train_iter, steps=args.steps,
         eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches, log_fn=log_jsonl,

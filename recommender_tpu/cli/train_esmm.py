@@ -87,7 +87,9 @@ def main(argv=None):
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:
         state = trainer.restore(state)
-    it = batch_iterator(train, args.train_batch_size, seed=args.seed, epochs=None)
+    # start_batch resumes the data stream where the restored step left off
+    it = batch_iterator(train, args.train_batch_size, seed=args.seed, epochs=None,
+                        start_batch=int(state.step))
     state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
 
     clicks = _round_to(click_only(test), ndata)

@@ -22,6 +22,7 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Any, Callable, Iterable, Optional
 
@@ -74,6 +75,12 @@ class TrainConfig:
     # only pays when such a table exists. None = auto-detect from the param
     # tree on the first step (2-D leaf, ≥8M elements, ≤32 columns).
     split_step: Optional[bool] = None
+    # Divergence guard: at every log point (where the loss is fetched to the
+    # host anyway, so it costs nothing) raise TrainingDiverged on a NaN/Inf
+    # loss instead of silently training garbage for the rest of the run.
+    # Recovery story: restart with --resume from the last good checkpoint
+    # (docs/DESIGN.md "Failure/restart story").
+    nan_guard: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -85,6 +92,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "sgd":
         return optax.sgd(lr)
     raise ValueError(cfg.optimizer)
+
+
+class TrainingDiverged(RuntimeError):
+    """Raised by the fit loop's nan_guard on a non-finite loss."""
 
 
 class Trainer:
@@ -288,6 +299,12 @@ class Trainer:
             step = i + 1
             if step % cfg.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if cfg.nan_guard and not math.isfinite(metrics.get("loss", 0.0)):
+                    raise TrainingDiverged(
+                        f"non-finite loss {metrics['loss']} at step {step}; "
+                        "resume from the last checkpoint (--resume) with a "
+                        "lower learning rate"
+                    )
                 dt = time.perf_counter() - t0
                 metrics["examples_per_s"] = window_examples / max(dt, 1e-9)
                 metrics["step"] = step

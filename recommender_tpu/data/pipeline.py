@@ -25,17 +25,33 @@ def batch_iterator(
     seed: int = 0,
     drop_remainder: bool = True,
     epochs: int | None = 1,
+    start_batch: int = 0,
 ) -> Iterator[dict]:
-    """Yield dict batches from a dict of equal-length numpy arrays."""
+    """Yield dict batches from a dict of equal-length numpy arrays.
+
+    ``start_batch`` skips that many batches of the (seed-determined) stream
+    before yielding — the data-iterator half of checkpoint resume: a run
+    restored at step k continues on exactly the batches it would have seen
+    (``start_batch=k``). Skipping is index arithmetic; whole skipped epochs
+    still draw their permutation so the stream stays bit-identical.
+    """
     n = len(next(iter(arrays.values())))
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
-        idx = rng.permutation(n) if shuffle else np.arange(n)
         stop = (n // batch_size) * batch_size if drop_remainder else n
-        for s in range(0, stop, batch_size):
+        per_epoch = len(range(0, stop, batch_size))
+        if start_batch >= per_epoch:
+            if shuffle:
+                rng.permutation(n)  # consume this epoch's draw
+            start_batch -= per_epoch
+            epoch += 1
+            continue
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(start_batch * batch_size, stop, batch_size):
             sel = idx[s : s + batch_size]
             yield {k: v[sel] for k, v in arrays.items()}
+        start_batch = 0
         epoch += 1
 
 

@@ -72,10 +72,15 @@ class SyntheticSequence:
         # categories correlate with topics (as in real catalogues), so models
         # can generalize topic-match structure instead of memorizing item ids
         cats_per_topic = max((self.num_cats - 1) // self.num_topics, 1)
-        self.item_cat = (
+        # clip to the vocab: with num_cats <= num_topics the affine map would
+        # emit id == num_cats, and jnp.take fills out-of-range gathers with
+        # NaN (caught by TrainConfig.nan_guard via test_dp_equivalence)
+        self.item_cat = np.clip(
             1
             + self.item_topic * cats_per_topic
-            + rng.integers(0, cats_per_topic, size=self.num_items)
+            + rng.integers(0, cats_per_topic, size=self.num_items),
+            1,
+            self.num_cats - 1,
         ).astype(np.int32)
         self.item_cat[0] = 0
         # items grouped by topic for sampling

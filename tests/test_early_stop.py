@@ -37,3 +37,31 @@ def test_early_stop_fires(tmp_path, devices8):
     assert stop_step == 6, hist
     # best checkpoint exists (saved at the first eval)
     assert trainer._ckpt_mgr.latest_step() is not None
+
+
+def test_nan_guard_raises_training_diverged():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from recommender_tpu.core.mesh import MeshSpec, make_mesh
+    from recommender_tpu.core.train import (
+        TrainConfig,
+        Trainer,
+        TrainingDiverged,
+        TrainState,
+    )
+
+    def loss_fn(params, model_state, batch, rng, train):
+        # diverges immediately: 0/0 per-example loss
+        per_ex = batch["x"] * jnp.float32(0) / jnp.float32(0)
+        return per_ex, {}, model_state
+
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    tr = Trainer(loss_fn, TrainConfig(log_every=1, eval_every=0), mesh=mesh)
+    state = tr.init_state(
+        lambda: ({"w": jnp.zeros((2,))}, {})
+    )
+    batches = iter([{"x": jnp.ones((16,))}] * 10)
+    with pytest.raises(TrainingDiverged):
+        tr.fit(state, batches, steps=10)

@@ -82,3 +82,19 @@ def test_prefetcher_endless_iterator_no_leak():
     except StopIteration:
         stopped = True
     assert stopped
+
+
+def test_batch_iterator_start_batch_resume():
+    """start_batch=k continues the exact stream an uninterrupted run would
+    see, including across shuffled-epoch boundaries."""
+    arrays = {"x": np.arange(23)}
+    full = [b["x"] for b in batch_iterator(arrays, 5, seed=3, epochs=4)]
+    for k in (0, 1, 4, 7, 15):  # mid-epoch, boundary, multi-epoch skips
+        resumed = [
+            b["x"]
+            for b in batch_iterator(arrays, 5, seed=3, epochs=4, start_batch=k)
+        ]
+        assert len(resumed) == len(full) - k
+        np.testing.assert_array_equal(
+            np.stack(resumed), np.stack(full[k:]), err_msg=f"start_batch={k}"
+        )
