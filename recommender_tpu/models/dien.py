@@ -90,7 +90,9 @@ class DIN(SequenceBase):
 class DIEN(SequenceBase):
     extract_hidden: int = 36
     evolve_hidden: int = 36
-    remat: bool = False  # rematerialize scan steps (long-history memory knob)
+    # rematerialize scan steps: None = auto (on for T > 256, where it is
+    # both the memory knob AND faster — nn/recurrent.py REMAT_MIN_T)
+    remat: bool | None = None
 
     def setup(self):
         super().setup()

@@ -31,9 +31,19 @@ import jax.numpy as jnp
 # window. Longer sequences keep the scan to bound compile time/code size.
 FULL_UNROLL_MAX_T = 128
 
+# Above this length, rematerializing each scan step (jax.checkpoint) is
+# FASTER than storing activations — recompute beats the activation HBM
+# traffic. Measured on v5e, DIEN b128 (both recurrences + model):
+# T=250 plain 7.9 vs remat 8.3 ms; T=500 13.3 vs 11.2; T=1000 25.1 vs 16.6.
+REMAT_MIN_T = 256
+
 
 def _effective_unroll(unroll, t: int) -> int:
     return t if (unroll is None and t <= FULL_UNROLL_MAX_T) else (unroll or 8)
+
+
+def _effective_remat(remat, t: int) -> bool:
+    return (t > REMAT_MIN_T) if remat is None else remat
 
 
 def _gru_step_hoisted(h, zr_x, c_x, wh_gates, wh_cand):
@@ -56,9 +66,10 @@ def _gru_step_hoisted(h, zr_x, c_x, wh_gates, wh_cand):
 class GRU(nn.Module):
     """Masked GRU over [B, T, D]; returns all hidden states [B, T, H].
 
-    ``remat=True`` rematerializes each scan step on the backward pass
-    (``jax.checkpoint``), trading ~1 extra forward of FLOPs for O(T) →
-    O(1) activation memory per step — the long-sequence growth path.
+    ``remat`` rematerializes each scan step on the backward pass
+    (``jax.checkpoint``): O(T) → O(1) activation memory per step, and past
+    a few hundred steps it is also FASTER (see REMAT_MIN_T). ``None``
+    (default) = auto: on for T > REMAT_MIN_T; a bool forces it.
 
     ``unroll`` replicates the step body inside the scan loop: at DIEN scale
     (B=128, H=36) each step is a single tiny MXU call and the loop is
@@ -67,7 +78,7 @@ class GRU(nn.Module):
     constants), else window of 8; an int forces that window."""
 
     hidden: int
-    remat: bool = False
+    remat: bool | None = None
     unroll: int | None = None
 
     @nn.compact
@@ -93,7 +104,7 @@ class GRU(nn.Module):
             carry = mt * new + (1.0 - mt) * carry
             return carry, carry
 
-        if self.remat:
+        if _effective_remat(self.remat, t):
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
         unroll = _effective_unroll(self.unroll, t)
@@ -110,7 +121,7 @@ class AUGRU(nn.Module):
     """
 
     hidden: int
-    remat: bool = False
+    remat: bool | None = None  # see GRU.remat
     unroll: int | None = None  # see GRU.unroll
 
     @nn.compact
@@ -141,7 +152,7 @@ class AUGRU(nn.Module):
             carry = mt * new + (1.0 - mt) * carry
             return carry, None
 
-        if self.remat:
+        if _effective_remat(self.remat, t):
             step = jax.checkpoint(step)
         h0 = jnp.zeros((b, h), x.dtype)
         unroll = _effective_unroll(self.unroll, t)
