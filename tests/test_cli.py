@@ -79,3 +79,47 @@ def test_cli_pinsage(capsys, tmp_path):
     all_out = str(tmp_path / "recs.npz")
     serve.main(["--bundle", export, "--all", "--top_k", "2", "--out", all_out])
     assert np.load(all_out)["recommendations"].shape[1] == 2
+
+
+def test_cli_predict_from_checkpoint(capsys, tmp_path):
+    """Train -> checkpoint -> offline batch prediction (cli/predict.py)."""
+    from recommender_tpu.cli import predict
+
+    ckpt = str(tmp_path / "ckpt")
+    train_ctr.main(COMMON + [
+        "--model_type", "DLRM", "--vocab_size", "2000",
+        "--train_batch_size", "128", "--test_batch_size", "256",
+        "--eval_batches", "1", "--checkpoint_dir", ckpt,
+    ])
+    capsys.readouterr()
+    out_npz = str(tmp_path / "scores.npz")
+    predict.main([
+        "--family", "ctr", "--model_type", "DLRM", "--synthetic",
+        "--checkpoint_dir", ckpt, "--vocab_size", "2000",
+        "--batch_size", "100", "--output", out_npz,
+    ])
+    assert '"predicted"' in capsys.readouterr().out
+    scores = np.load(out_npz)["score"]
+    assert scores.shape == (400,)
+    assert np.all((scores >= 0) & (scores <= 1)) and np.std(scores) > 0
+
+
+def test_cli_predict_multitask_heads(capsys, tmp_path):
+    from recommender_tpu.cli import predict
+
+    ckpt = str(tmp_path / "ckpt")
+    train_esmm.main(COMMON + [
+        "--model_type", "MMOE", "--embedding_size", "8",
+        "--train_batch_size", "128", "--test_batch_size", "256",
+        "--checkpoint_dir", ckpt,
+    ])
+    capsys.readouterr()
+    out_npz = str(tmp_path / "heads.npz")
+    predict.main([
+        "--family", "esmm", "--model_type", "MMOE", "--synthetic",
+        "--checkpoint_dir", ckpt, "--vocab_size", "50",
+        "--embedding_size", "8", "--batch_size", "128", "--output", out_npz,
+    ])
+    out = np.load(out_npz)
+    assert {"ctr", "ctcvr"} <= set(out.files)
+    assert len(out["ctr"]) == 512
