@@ -123,3 +123,24 @@ def test_cli_predict_multitask_heads(capsys, tmp_path):
     out = np.load(out_npz)
     assert {"ctr", "ctcvr"} <= set(out.files)
     assert len(out["ctr"]) == 512
+
+
+def test_cli_predict_dien(capsys, tmp_path):
+    from recommender_tpu.cli import predict
+
+    ckpt = str(tmp_path / "ckpt")
+    train_dien.main(COMMON + [
+        "--model_type", "DIEN", "--history_max_length", "10",
+        "--embedding_size", "8", "--train_batch_size", "64",
+        "--test_batch_size", "128", "--eval_batches", "1",
+        "--checkpoint_dir", ckpt,
+    ])
+    capsys.readouterr()
+    out_npz = str(tmp_path / "dien_scores.npz")
+    predict.main([
+        "--family", "dien", "--model_type", "DIEN", "--synthetic",
+        "--checkpoint_dir", ckpt, "--item_vocab", "1000", "--cat_vocab", "50",
+        "--embedding_size", "8", "--batch_size", "64", "--output", out_npz,
+    ])
+    scores = np.load(out_npz)["score"]
+    assert len(scores) == 256 and np.all((scores >= 0) & (scores <= 1))
