@@ -49,6 +49,31 @@ def main(argv=None):
         test = dict(np.load(args.test_npz))
         sizes = (train["features"].max(axis=0) + 1).tolist()
 
+    # per-table layout from the sharding planner: replicate tiny tables,
+    # row-shard large ones over the 'model' axis (frequency/skew-aware —
+    # embedding/planner.py). A single 'model' policy would shard all 18.
+    partition = None
+    if args.mesh_model > 1:
+        from recommender_tpu.embedding.planner import (
+            TableStats,
+            plan_summary,
+            plan_tables,
+        )
+
+        stats = [
+            TableStats(
+                f"feat_{j}", int(v), args.embedding_size, lookups_per_example=1,
+                id_freq=np.bincount(train["features"][:, j], minlength=int(v)),
+            )
+            for j, v in enumerate(sizes)
+        ]
+        plans = plan_tables(
+            stats, num_model_shards=args.mesh_model,
+            batch_per_device=args.train_batch_size // ndata,
+        )
+        log_jsonl({"shard_plan": plan_summary(plans)})
+        partition = tuple(pl.partition for pl in plans)
+
     if args.model_type == "BASE":
         # two-model protocol (esmm/train.py:14-91)
         results = {}
@@ -57,7 +82,8 @@ def main(argv=None):
             data = train if role == "ctr" else _round_to(click_only(train), ndata)
             arrays = dict(data)
             arrays["label"] = arrays[label]
-            model = MultiTaskBase(vocab_sizes=sizes, embed_dim=args.embedding_size)
+            model = MultiTaskBase(vocab_sizes=sizes, embed_dim=args.embedding_size,
+                                  partition=partition)
             loss_fn, eval_fn = make_ctr_task(model)
             trainer = build_trainer(args, loss_fn, eval_fn, mesh)
             example = {k: v[: args.train_batch_size] for k, v in arrays.items()}
@@ -80,9 +106,19 @@ def main(argv=None):
         return models
 
     model_cls = ESMM if args.model_type == "ESMM" else MMOE
-    model = model_cls(vocab_sizes=sizes, embed_dim=args.embedding_size)
+    model = model_cls(vocab_sizes=sizes, embed_dim=args.embedding_size,
+                      partition=partition)
     loss_fn, eval_fn = make_multitask_task(model)
-    trainer = build_trainer(args, loss_fn, eval_fn, mesh)
+    pshard = None
+    if partition is not None:
+        import jax
+
+        from recommender_tpu.parallel.partitioning import param_shardings
+
+        ex0 = {k: v[: args.train_batch_size] for k, v in train.items()}
+        var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(args.seed), ex0))
+        pshard = param_shardings(var_shapes["params"], mesh)
+    trainer = build_trainer(args, loss_fn, eval_fn, mesh, param_shardings=pshard)
     example = {k: v[: args.train_batch_size] for k, v in train.items()}
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:

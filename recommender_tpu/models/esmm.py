@@ -29,17 +29,26 @@ from recommender_tpu.nn.moe import ExpertBank, MMOEGate
 
 
 class FeatureEmbedder(nn.Module):
-    """Per-feature embedding tables → concatenated [B, F*D]."""
+    """Per-feature embedding tables → concatenated [B, F*D].
+
+    ``partition`` may be a single policy for every table or a per-feature
+    tuple (e.g. from ``embedding.planner.plan_tables``: replicate the tiny
+    tables, row-shard the large ones)."""
 
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
-    partition: str | None = None  # 'model' → row-shard each table
+    partition: str | None | Sequence[str | None] = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        per_feat = (
+            tuple(self.partition)
+            if isinstance(self.partition, (list, tuple))
+            else (self.partition,) * len(self.vocab_sizes)
+        )
         cols = []
         for j, v in enumerate(self.vocab_sizes):
-            emb = Embedding(v, self.embed_dim, name=f"feat_{j}", partition=self.partition)
+            emb = Embedding(v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j])
             cols.append(emb(features[:, j]))
         return jnp.concatenate(cols, axis=-1)
 
@@ -50,7 +59,7 @@ class MultiTaskBase(nn.Module):
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 2)
-    partition: str | None = None
+    partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
 
     @nn.compact
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
@@ -64,7 +73,7 @@ class ESMM(nn.Module):
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 1)
-    partition: str | None = None
+    partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
 
     def setup(self):
         self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)
@@ -85,7 +94,7 @@ class MMOE(nn.Module):
     num_experts: int = 8
     expert_units: Sequence[int] = (200, 80)
     tower_units: Sequence[int] = (40, 1)
-    partition: str | None = None
+    partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
 
     def setup(self):
         self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)

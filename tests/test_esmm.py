@@ -156,3 +156,38 @@ def test_aliccp_subsample_ratio():
     assert int(sub["click"].sum()) == n_click  # all clicks kept
     c = click_only(arrays)
     assert (c["click"] == 1).all()
+
+
+def test_feature_embedder_per_table_partition(devices8):
+    """Planner-style mixed layout: shard large tables, replicate tiny ones."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.core import meta
+
+    from recommender_tpu.models.esmm import FeatureEmbedder
+
+    sizes = (1024, 16)  # first sharded over 'model', second replicated
+    emb = FeatureEmbedder(sizes, embed_dim=4, partition=("model", None))
+    feats = jnp.asarray(np.random.default_rng(0).integers(0, 16, (8, 2)), jnp.int32)
+    variables = emb.init(jax.random.PRNGKey(0), feats)
+    p0 = variables["params"]["feat_0"]["embedding"]
+    p1 = variables["params"]["feat_1"]["embedding"]
+    assert isinstance(p0, meta.Partitioned) and p0.names == ("model", None)
+    assert not isinstance(p1, meta.Partitioned)
+    out = emb.apply(variables, feats)
+    assert out.shape == (8, 8)
+
+
+def test_cli_esmm_auto_shard_plan(capsys, devices8):
+    """--mesh_model 2 engages the planner; synthetic tiny tables replicate."""
+    from recommender_tpu.cli import train_esmm
+
+    train_esmm.main([
+        "--synthetic", "--steps", "6", "--log_every", "3", "--eval_every", "0",
+        "--model_type", "MMOE", "--embedding_size", "8",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--mesh_model", "2",
+    ])
+    out = capsys.readouterr().out
+    assert '"shard_plan"' in out and '"final"' in out
