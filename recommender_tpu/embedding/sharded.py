@@ -143,6 +143,21 @@ def all_to_all_lookup(
     return fn(table, ids)
 
 
+def a2a_overflow_fraction(
+    ids: np.ndarray, num_shards: int, vocab_size: int, capacity_factor: float
+) -> float:
+    """Host-side diagnostic: fraction of lookups the all-to-all exchange
+    would drop (serve a 0 vector) at this capacity, given a sample of real
+    ids. Use while sizing ``capacity_factor``; 0.0 means lossless for this
+    sample. ``capacity_factor >= num_shards`` is always 0."""
+    flat = np.asarray(ids).reshape(-1)
+    rows = vocab_size // num_shards
+    owner = np.clip(flat // max(rows, 1), 0, num_shards - 1)
+    capacity = int(np.ceil(flat.size / num_shards * capacity_factor))
+    counts = np.bincount(owner, minlength=num_shards)
+    return float(np.maximum(counts - capacity, 0).sum() / max(flat.size, 1))
+
+
 def sort_coalesced_lookup(
     table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh | None = None
 ) -> jnp.ndarray:

@@ -43,6 +43,21 @@ class Embedding(nn.Module):
     features: int
     partition: Optional[str] = None  # None → replicated; "model" → row-sharded
     param_dtype: jnp.dtype = jnp.float32
+    # Sharded-lookup exchange for partitioned tables: "gspmd" (default) lets
+    # XLA compile the gather into masked-local-gather + all-reduce; "a2a"
+    # routes ids to the owning shard and vectors back explicitly
+    # (embedding.sharded.all_to_all_lookup — comm drops from B·F·D to
+    # ≈2·B·F·D/m per device; the planner picks it for large batches).
+    # "a2a" requires ``mesh`` (a static module attribute). Routing buckets
+    # are fixed-size: ids beyond a destination shard's capacity
+    # (``capacity_factor`` × fair share) are served a 0 vector, so size it
+    # for the id-frequency skew you expect (``planner.plan_tables`` computes
+    # a skew-aware value; ``sharded.a2a_overflow_fraction`` measures one).
+    # capacity_factor == num model shards is always lossless (degenerates
+    # to psum-grade communication).
+    lookup_mode: str = "gspmd"
+    mesh: Optional[object] = None
+    capacity_factor: float = 2.0  # jax.sharding.Mesh (hashable, static)
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -53,6 +68,17 @@ class Embedding(nn.Module):
             "embedding", init, (self.vocab_size, self.features), self.param_dtype
         )
         table = jnp.asarray(table)  # unbox partitioned param
+        if (
+            self.lookup_mode == "a2a"
+            and self.partition is not None
+            and self.mesh is not None
+            and self.mesh.shape.get("model", 1) > 1
+        ):
+            from recommender_tpu.embedding.sharded import all_to_all_lookup
+
+            return all_to_all_lookup(
+                table, ids, self.mesh, capacity_factor=self.capacity_factor
+            )
         # Narrow tables take the custom-VJP lookup (plain gather forward,
         # padded-width scatter backward) when the table is big-narrow
         # (layout-flip class, pairs with the Trainer's split step: DLRM

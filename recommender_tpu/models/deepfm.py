@@ -29,8 +29,16 @@ class DeepFM(nn.Module):
     mlp_units: Sequence[int] = (512, 256, 1)
     partition: Optional[str] = None
 
+    lookup_mode: str = "gspmd"  # 'a2a' = explicit all-to-all exchange (needs mesh)
+    mesh: Optional[object] = None
+    capacity_factor: float = 2.0  # a2a bucket size; see Embedding.capacity_factor
+
     def setup(self):
-        self.embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.embedding = Embedding(
+            self.vocab_size, self.embed_dim, partition=self.partition,
+            lookup_mode=self.lookup_mode, mesh=self.mesh,
+            capacity_factor=self.capacity_factor,
+        )
         self.mlp = MLP(self.mlp_units, final_activation=None)
 
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:

@@ -36,9 +36,16 @@ class DLRM(nn.Module):
     bottom_units: Sequence[int] = (512, 256, 64, 16)
     top_units: Sequence[int] = (512, 256, 1)
     partition: Optional[str] = None  # 'model' → row-sharded table
+    lookup_mode: str = "gspmd"  # 'a2a' = explicit all-to-all exchange (needs mesh)
+    mesh: Optional[object] = None
+    capacity_factor: float = 2.0  # a2a bucket size; see Embedding.capacity_factor
 
     def setup(self):
-        self.embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.embedding = Embedding(
+            self.vocab_size, self.embed_dim, partition=self.partition,
+            lookup_mode=self.lookup_mode, mesh=self.mesh,
+            capacity_factor=self.capacity_factor,
+        )
         self.bottom_mlp = MLP(self.bottom_units, final_activation=nn.relu)
         self.top_mlp = MLP(self.top_units, final_activation=nn.sigmoid)
         self.interaction = DotInteraction(self_interaction=False, skip_gather=True)
