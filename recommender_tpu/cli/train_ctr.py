@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--decay_steps", type=int, default=40000)
     p.add_argument("--early_stop_patience", type=int, default=0,
                    help="stop after N evals without val-AUC improvement")
+    p.add_argument("--lookup_mode", choices=["gspmd", "a2a"], default="gspmd",
+                   help="sharded-table exchange (a2a needs --mesh_model > 1)")
+    p.add_argument("--a2a_capacity_factor", type=float, default=2.0,
+                   help="all-to-all bucket size vs fair share; = mesh_model is lossless")
     args = p.parse_args(argv)
     if args.lr_schedule == "dlrm":
         from recommender_tpu.nn.schedules import dlrm_warmup_cosine
@@ -44,12 +48,16 @@ def main(argv=None):
 
     mesh = build_mesh(args)
     partition = "model" if args.mesh_model > 1 else None
+    lookup_kw = dict(
+        lookup_mode=args.lookup_mode, mesh=mesh if args.lookup_mode == "a2a" else None,
+        capacity_factor=args.a2a_capacity_factor,
+    )
     if args.model_type == "DLRM":
         model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
-                     partition=partition)
+                     partition=partition, **lookup_kw)
     else:
         model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
-                       partition=partition)
+                       partition=partition, **lookup_kw)
 
     if args.synthetic or not args.data_dir:
         gen = SyntheticCTR(vocab_size=args.vocab_size, seed=args.seed)

@@ -144,3 +144,14 @@ def test_cli_predict_dien(capsys, tmp_path):
     ])
     scores = np.load(out_npz)["score"]
     assert len(scores) == 256 and np.all((scores >= 0) & (scores <= 1))
+
+
+def test_cli_ctr_a2a_lookup(capsys):
+    train_ctr.main(COMMON + [
+        "--model_type", "DLRM", "--vocab_size", "2048",
+        "--mesh_model", "2", "--lookup_mode", "a2a",
+        "--a2a_capacity_factor", "2.0",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--eval_batches", "1",
+    ])
+    assert '"final"' in capsys.readouterr().out
