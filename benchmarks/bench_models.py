@@ -106,11 +106,11 @@ def bench_dien_large():
     bench_dien(B=1024)
 
 
-def bench_mmoe():
+def bench_mmoe(B: int = 512):
+    # B=512: reference train batch (esmm/train.py default), dispatch-bound
     from recommender_tpu.data.synthetic import SyntheticMultiTask
     from recommender_tpu.models.esmm import MMOE
 
-    B = 512  # reference train batch (esmm/train.py default)
     gen = SyntheticMultiTask(vocab_sizes=tuple([100_000] * 18), seed=0)
     host = gen.sample(B, seed=1)
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
@@ -118,7 +118,13 @@ def bench_mmoe():
     loss_fn, eval_fn = make_multitask_task(model)
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
-    report("mmoe_aliccp_b512", _bench_steps(tr, state, tr.put_batch(host)), B)
+    report(f"mmoe_aliccp_b{B}", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_mmoe_large():
+    """Large-batch MMOE: 147k ids/step clears the padded-backward + split
+    thresholds, so the stacked-table lookup takes the DLRM-class path."""
+    bench_mmoe(B=8192)
 
 
 def bench_eges():
@@ -210,7 +216,8 @@ if __name__ == "__main__":
     import sys
 
     which = sys.argv[1:] or [
-        "dlrm", "deepfm", "dien", "dien_large", "mmoe", "eges", "pinsage",
+        "dlrm", "deepfm", "dien", "dien_large", "mmoe", "mmoe_large",
+        "eges", "pinsage",
     ]
     for name in which:
         globals()[f"bench_{name}"]()

@@ -197,7 +197,14 @@ class Trainer:
 
         def train_step(state: TrainState, batch, rng):
             if self._split is None:
-                self._split = _has_big_narrow_table(state.params)
+                # Split only when (a) a big narrow table exists (the layout-
+                # flip shape class) AND (b) this step scatters enough ids
+                # that the layout win can exceed the ~2.5 ms second-dispatch
+                # cost — a small batch into a big table (e.g. MMOE b512,
+                # 9.2k ids) stays fused/dispatch-bound.
+                self._split = _has_big_narrow_table(state.params) and (
+                    _batch_id_volume(batch) >= _SPLIT_MIN_IDS
+                )
             if not self._split:
                 return self._fused_step(state, batch, rng)
             grads, new_ms, metrics = self._grad_step(state, batch, rng)
@@ -411,6 +418,22 @@ def _has_big_narrow_table(params) -> bool:
         if getattr(leaf, "ndim", 0) == 2 and is_big_narrow_table(leaf.shape):
             return True
     return False
+
+
+# Minimum integer-id volume per step for the split grads|optimizer pair to
+# pay for its extra dispatch (same scale as embedding_kernels.PADDED_BWD_MIN_IDS:
+# below ~32k scattered rows the narrow-scatter/layout costs are small).
+_SPLIT_MIN_IDS = 32_768
+
+
+def _batch_id_volume(batch) -> int:
+    """Total integer elements in the batch — a proxy for embedding ids
+    scattered per step (labels/floats excluded)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(batch):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.integer):
+            total += int(jnp.asarray(leaf).size)
+    return total
 
 
 def _batch_size(batch) -> int:

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from recommender_tpu.core.mesh import MODEL_AXIS
+from recommender_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def shard_table(table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
@@ -123,21 +123,31 @@ def all_to_all_lookup(
     exchange.
 
     Fixed-shape routing: per-destination capacity is
-    ``ceil(n/m · capacity_factor)``; ids beyond a destination's capacity
-    (pathological skew) are served a 0 vector — size ``capacity_factor``
-    for the skew you expect, or keep the psum path for tiny batches.
-    Differentiable end-to-end (AD transposes the all_to_alls and the local
-    gather's scatter-add stays shard-local).
+    ``ceil(n_local/m · capacity_factor)``; ids beyond a destination's
+    capacity (pathological skew) are served a 0 vector — size
+    ``capacity_factor`` for the skew you expect, or keep the psum path for
+    tiny batches. Differentiable end-to-end (AD transposes the all_to_alls
+    and the local gather's scatter-add stays shard-local).
+
+    On a ``(data × model)`` mesh the ids stay **batch-sharded over data**
+    (each data-replica group exchanges only its own rows; the table
+    cotangent is psum'd over ``data`` by the shard_map transpose) — ids are
+    only replicated when the leading dim doesn't divide the data axis.
     """
+    data = mesh.shape.get(DATA_AXIS, 1)
+    batch_sharded = ids.ndim >= 1 and data > 1 and ids.shape[0] % data == 0
+    n_local = ids.size // (data if batch_sharded else 1)
+    ids_spec = P(DATA_AXIS) if batch_sharded else P()
+    out_spec = P(DATA_AXIS) if batch_sharded else P()
     fn = shard_map(
         partial(
             _a2a_local,
             axis=MODEL_AXIS,
-            capacity=int(np.ceil(ids.size / mesh.shape[MODEL_AXIS] * capacity_factor)),
+            capacity=int(np.ceil(n_local / mesh.shape[MODEL_AXIS] * capacity_factor)),
         ),
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P()),
-        out_specs=P(),
+        in_specs=(P(MODEL_AXIS, None), ids_spec),
+        out_specs=out_spec,
         check_vma=False,
     )
     return fn(table, ids)

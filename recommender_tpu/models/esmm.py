@@ -21,7 +21,9 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from recommender_tpu.embedding.table import Embedding
 from recommender_tpu.nn.mlp import MLP
@@ -31,26 +33,86 @@ from recommender_tpu.nn.moe import ExpertBank, MMOEGate
 class FeatureEmbedder(nn.Module):
     """Per-feature embedding tables → concatenated [B, F*D].
 
+    ``stack=True`` enables **table stacking** (the TPUEmbedding trick): all
+    F same-width tables live as one ``[ΣV, D]`` param, feature ``j``'s rows
+    at offset ``Σ_{i<j} V_i``; the whole batch takes ONE gather of ``[B, F]``
+    shifted ids (one scatter-add gradient) instead of F per-table pairs.
+    Per-row semantics (lookup, Adam update, init distribution) are
+    unchanged: each segment is initialized exactly as its standalone table
+    would be, and elementwise optimizers never couple rows.
+
+    Stacking is **off by default** — measured on v5e (2026-08-19, MMOE with
+    18×100k×18 tables, benchmarks/exp_mmoe_stacking.py) it LOSES at both
+    reference scales: b512 4.2 vs 3.4 ms, b8192 21.2 vs 10.1 ms, under
+    every backward/split variant. One 147k-row scatter into a 1.8M×18
+    big-narrow table serializes against a single fat Adam update, while 18
+    small per-table scatter→Adam chains pipeline; the fused-step layout
+    pathologies (docs/DESIGN.md) also engage at the stacked size. Stack
+    only when the per-table dispatch overhead dominates instead — many
+    genuinely tiny vocabs at small batch.
+
     ``partition`` may be a single policy for every table or a per-feature
     tuple (e.g. from ``embedding.planner.plan_tables``: replicate the tiny
-    tables, row-shard the large ones)."""
+    tables, row-shard the large ones). A per-feature tuple needs per-table
+    params, so it always disables stacking; a uniform policy (including
+    ``"model"`` — GSPMD row-shards the stacked table as a whole) may stack.
+    """
 
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     partition: str | None | Sequence[str | None] = None
+    stack: bool = False
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
-        per_feat = (
-            tuple(self.partition)
-            if isinstance(self.partition, (list, tuple))
-            else (self.partition,) * len(self.vocab_sizes)
+        if not self.stack or isinstance(self.partition, (list, tuple)):
+            per_feat = (
+                tuple(self.partition)
+                if isinstance(self.partition, (list, tuple))
+                else (self.partition,) * len(self.vocab_sizes)
+            )
+            cols = []
+            for j, v in enumerate(self.vocab_sizes):
+                emb = Embedding(
+                    v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j]
+                )
+                cols.append(emb(features[:, j]))
+            return jnp.concatenate(cols, axis=-1)
+
+        vocab_sizes = tuple(int(v) for v in self.vocab_sizes)
+        total = sum(vocab_sizes)
+        dim = self.embed_dim
+        base = nn.initializers.variance_scaling(1.0, "fan_in", "uniform", out_axis=0)
+
+        def stacked_init(key, shape, dtype=jnp.float32):
+            # per-segment init == each standalone table's init (fan depends
+            # on the table shape, so one call over [ΣV, D] would differ)
+            keys = jax.random.split(key, len(vocab_sizes))
+            segs = [
+                base(k, (v, dim), dtype) for k, v in zip(keys, vocab_sizes)
+            ]
+            return jnp.concatenate(segs, axis=0)
+
+        init = stacked_init
+        if self.partition is not None:
+            init = nn.with_partitioning(init, (self.partition, None))
+        table = jnp.asarray(
+            self.param("stacked_embedding", init, (total, dim), jnp.float32)
         )
-        cols = []
-        for j, v in enumerate(self.vocab_sizes):
-            emb = Embedding(v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j])
-            cols.append(emb(features[:, j]))
-        return jnp.concatenate(cols, axis=-1)
+        offsets = jnp.asarray(
+            np.cumsum([0] + list(vocab_sizes[:-1])), dtype=features.dtype
+        )
+        ids = features + offsets[None, :]  # [B, F] global rows
+        from recommender_tpu.ops.embedding_kernels import (
+            embedding_lookup,
+            use_padded_backward,
+        )
+
+        if use_padded_backward(table.shape, ids.size):
+            emb = embedding_lookup(table, ids)
+        else:
+            emb = jnp.take(table, ids, axis=0)
+        return emb.reshape(features.shape[0], len(vocab_sizes) * dim)
 
 
 class MultiTaskBase(nn.Module):
@@ -60,10 +122,13 @@ class MultiTaskBase(nn.Module):
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 2)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
+    stack_tables: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
-        x = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)(batch["features"])
+        x = FeatureEmbedder(
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+        )(batch["features"])
         out = MLP(self.mlp_units, final_activation=nn.softmax)(x, train=train)
         # reference uses a 2-unit softmax head; prob of class 1
         return out[:, 1] if out.shape[-1] == 2 else jnp.squeeze(nn.sigmoid(out), -1)
@@ -74,9 +139,12 @@ class ESMM(nn.Module):
     embed_dim: int = 18
     mlp_units: Sequence[int] = (360, 200, 80, 1)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
+    stack_tables: bool = False
 
     def setup(self):
-        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)
+        self.embedder = FeatureEmbedder(
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+        )
         self.ctr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
         self.cvr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
 
@@ -95,9 +163,12 @@ class MMOE(nn.Module):
     expert_units: Sequence[int] = (200, 80)
     tower_units: Sequence[int] = (40, 1)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
+    stack_tables: bool = False
 
     def setup(self):
-        self.embedder = FeatureEmbedder(self.vocab_sizes, self.embed_dim, self.partition)
+        self.embedder = FeatureEmbedder(
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+        )
         self.expert_bank = ExpertBank(self.num_experts, self.expert_units)
         self.gates = [
             MMOEGate(self.num_experts, name=f"gate_{i}") for i in range(self.num_tasks)

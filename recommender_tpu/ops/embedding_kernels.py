@@ -281,14 +281,19 @@ PADDED_BWD_MIN_IDS = 32_768
 def use_padded_backward(table_shape, n_ids: int) -> bool:
     """Static per-lookup choice of the padded-scatter custom-VJP backward.
 
-    Narrow tables (cols < 64, XLA's slow-scatter regime) take it when the
-    table is in the big-narrow class (layout-flip problem — always worth it,
-    see the Trainer's split step) OR when this call scatters enough rows
-    that the 4× slow native path dominates the padding overhead.
-    """
+    Narrow tables (cols < 64, XLA's slow-scatter regime) take it when this
+    call scatters enough rows that the 4× slow native path dominates the
+    padding overhead. Purely volume-gated (the Trainer's split step is
+    gated on the same threshold via ``_batch_id_volume``): a small batch
+    into a big narrow table — e.g. MMOE b512's 9.2k ids into the stacked
+    1.8M×18 table — is better served by the native scatter fused into one
+    step (measured 2026-08-19, stacked MMOE b512: volume-gated fused-native
+    4.2 ms vs always-padded+split 6.6 ms; DLRM b8192's 213k-id lookups
+    clear the threshold and keep the padded backward + split step,
+    14.3 → 8.9 ms)."""
     if len(table_shape) != 2 or table_shape[1] >= _FAST_WIDTH:
         return False
-    return is_big_narrow_table(table_shape) or n_ids >= PADDED_BWD_MIN_IDS
+    return n_ids >= PADDED_BWD_MIN_IDS
 
 
 @jax.custom_vjp

@@ -60,3 +60,26 @@ def test_all_to_all_skewed_ids_within_capacity(devices8):
         lambda tb, i: all_to_all_lookup(tb, i, mesh, capacity_factor=8.0)
     )(tbl, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(out), t[ids], rtol=1e-6)
+
+
+def test_all_to_all_data_sharded_grads(devices8):
+    """(2×4) mesh, ids batch-sharded over data: forward matches take and the
+    table cotangent is correctly psum'd over the data axis."""
+    mesh = make_mesh(MeshSpec(2, 4))
+    t = _table(v=64, d=8)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 64, size=(8, 3)).astype(np.int32)  # 8 % 2 == 0
+    w = jnp.asarray(rng.normal(size=(8, 3, 8)).astype(np.float32))
+
+    def loss_a2a(tb):
+        return jnp.sum(all_to_all_lookup(tb, jnp.asarray(ids), mesh, 8.0) * w)
+
+    def loss_ref(tb):
+        return jnp.sum(jnp.take(tb, jnp.asarray(ids), axis=0) * w)
+
+    tbl = shard_table(jnp.asarray(t), mesh)
+    out = jax.jit(lambda tb: all_to_all_lookup(tb, jnp.asarray(ids), mesh, 8.0))(tbl)
+    np.testing.assert_allclose(np.asarray(out), t[ids], rtol=1e-6)
+    g1 = np.asarray(jax.jit(jax.grad(loss_a2a))(tbl))
+    g2 = np.asarray(jax.grad(loss_ref)(jnp.asarray(t)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)

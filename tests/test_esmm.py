@@ -191,3 +191,40 @@ def test_cli_esmm_auto_shard_plan(capsys, devices8):
     ])
     out = capsys.readouterr().out
     assert '"shard_plan"' in out and '"final"' in out
+
+
+def test_stacked_embedder_matches_per_table():
+    """Stacked [ΣV, D] lookup == per-table lookups with the same rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recommender_tpu.models.esmm import FeatureEmbedder
+
+    sizes = (7, 13, 5)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        np.stack([rng.integers(0, v, 16) for v in sizes], axis=1), jnp.int32
+    )
+    stacked = FeatureEmbedder(sizes, embed_dim=4, partition=None, stack=True)
+    unstacked = FeatureEmbedder(sizes, embed_dim=4, partition=(None,) * 3)
+    vs = stacked.init(jax.random.PRNGKey(0), feats)
+    table = vs["params"]["stacked_embedding"]
+    # split the stacked param into the per-table layout
+    offs = np.cumsum([0] + list(sizes))
+    vu = {
+        "params": {
+            f"feat_{j}": {"embedding": table[offs[j] : offs[j + 1]]}
+            for j in range(3)
+        }
+    }
+    np.testing.assert_allclose(
+        stacked.apply(vs, feats), unstacked.apply(vu, feats), rtol=0, atol=0
+    )
+    # init distribution parity: each segment's scale matches a standalone
+    # table of the same shape (fan depends on the table, not the stack)
+    solo = FeatureEmbedder((13,), embed_dim=4, stack=True).init(
+        jax.random.PRNGKey(1), feats[:, 1:2]
+    )["params"]["stacked_embedding"]
+    seg = np.asarray(table[offs[1] : offs[2]])
+    assert abs(seg.std() / np.asarray(solo).std() - 1.0) < 0.35

@@ -121,14 +121,17 @@ def test_scatter_add_dense_matches_numpy(monkeypatch):
 
 def test_use_padded_backward_gate():
     """Per-lookup padded-backward selection (v5e crossover measurements in
-    ops/embedding_kernels.py): big-narrow tables always, other narrow tables
-    only above the per-call id-volume threshold, wide tables never."""
+    ops/embedding_kernels.py): purely volume-gated for narrow tables — a
+    small scatter into a big narrow table fuses better natively (stacked
+    MMOE b512 measurement, 2026-08-19) — wide tables never."""
     from recommender_tpu.ops.embedding_kernels import (
         PADDED_BWD_MIN_IDS,
         use_padded_backward,
     )
 
-    assert use_padded_backward((1_000_000, 16), 128)  # big-narrow: always
+    # big-narrow but tiny id volume: stays native (fused step wins)
+    assert not use_padded_backward((1_000_000, 16), 128)
+    assert use_padded_backward((1_000_000, 16), PADDED_BWD_MIN_IDS)
     # mid-size narrow table (DIEN 400k x 18): volume-gated
     assert not use_padded_backward((400_000, 18), PADDED_BWD_MIN_IDS - 1)
     assert use_padded_backward((400_000, 18), PADDED_BWD_MIN_IDS)

@@ -40,3 +40,20 @@ def test_auto_heuristic():
     assert _has_big_narrow_table(big)
     assert not _has_big_narrow_table(small)
     assert not _has_big_narrow_table(wide)
+
+
+def test_auto_gate_requires_id_volume():
+    """A big narrow table alone doesn't split — the step must also scatter
+    enough ids to beat the second-dispatch cost (MMOE b512 stays fused)."""
+    from recommender_tpu.core.train import _batch_id_volume, _SPLIT_MIN_IDS
+
+    small_batch = {
+        "features": np.zeros((512, 18), np.int32),
+        "click": np.zeros((512,), np.float32),
+    }
+    big_batch = {
+        "cat_features": np.zeros((8192, 26), np.int32),
+        "label": np.zeros((8192,), np.float32),
+    }
+    assert _batch_id_volume(small_batch) == 512 * 18 < _SPLIT_MIN_IDS
+    assert _batch_id_volume(big_batch) == 8192 * 26 >= _SPLIT_MIN_IDS
