@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 
 import jax
+import jax.numpy as jnp
 
 from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
 from recommender_tpu.data.criteo import load_shards, load_vocab, shard_batches
@@ -38,6 +39,9 @@ def main(argv=None):
                    help="sharded-table exchange (a2a needs --mesh_model > 1)")
     p.add_argument("--a2a_capacity_factor", type=float, default=2.0,
                    help="all-to-all bucket size vs fair share; = mesh_model is lossless")
+    p.add_argument("--embed_dtype", choices=["f32", "bf16"], default="f32",
+                   help="bf16 = store the table param in bfloat16 (17% step "
+                        "win at DLRM scale; see DLRM.embed_param_dtype)")
     args = p.parse_args(argv)
     if args.lr_schedule == "dlrm":
         from recommender_tpu.nn.schedules import dlrm_warmup_cosine
@@ -51,6 +55,7 @@ def main(argv=None):
     lookup_kw = dict(
         lookup_mode=args.lookup_mode, mesh=mesh if args.lookup_mode == "a2a" else None,
         capacity_factor=args.a2a_capacity_factor,
+        embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
     )
     if args.model_type == "DLRM":
         model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,

@@ -39,12 +39,22 @@ class DLRM(nn.Module):
     lookup_mode: str = "gspmd"  # 'a2a' = explicit all-to-all exchange (needs mesh)
     mesh: Optional[object] = None
     capacity_factor: float = 2.0  # a2a bucket size; see Embedding.capacity_factor
+    embed_compute_dtype: Optional[jnp.dtype] = None  # see Embedding.compute_dtype
+    # Storage dtype of the table param itself. bf16 is a measured 17% step
+    # win at DLRM scale on v5e (9.19 -> 7.66 ms b8192: half-byte scatter
+    # backward + half-byte Adam table update, no cast traffic) at the cost
+    # of bf16-resolution weights/updates: the 300-step synthetic
+    # fingerprint drops eval AUC 0.736 -> 0.700 (update rounding slows
+    # early training) — quality-check before enabling (benchmarks/RESULTS.md).
+    embed_param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.embedding = Embedding(
             self.vocab_size, self.embed_dim, partition=self.partition,
             lookup_mode=self.lookup_mode, mesh=self.mesh,
             capacity_factor=self.capacity_factor,
+            compute_dtype=self.embed_compute_dtype,
+            param_dtype=self.embed_param_dtype,
         )
         self.bottom_mlp = MLP(self.bottom_units, final_activation=nn.relu)
         self.top_mlp = MLP(self.top_units, final_activation=nn.sigmoid)

@@ -61,3 +61,56 @@ def test_dedup_lookup_matches_take(devices8):
     g1 = np.asarray(jax.grad(loss_dedup)(jnp.asarray(t)))
     g2 = np.asarray(jax.grad(loss_take)(jnp.asarray(t)))
     np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+
+def test_embedding_compute_dtype_bf16():
+    """bf16 compute copy: output is bf16, values match f32 within bf16 eps,
+    and the gradient lands back on the f32 master param."""
+    from recommender_tpu.embedding.table import Embedding
+
+    ids = jnp.asarray([1, 3, 3, 7], jnp.int32)
+    f32 = Embedding(16, 8)
+    b16 = Embedding(16, 8, compute_dtype=jnp.bfloat16)
+    vs = f32.init(jax.random.PRNGKey(0), ids)  # identical param tree
+    out32 = f32.apply(vs, ids)
+    out16 = b16.apply(vs, ids)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), rtol=1e-2, atol=1e-2
+    )
+
+    def loss(v):
+        return jnp.sum(b16.apply(v, ids).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(vs)["params"]["embedding"]
+    assert g.dtype == jnp.float32  # up-cast through the astype transpose
+    # duplicate id 3 accumulates 2x its row's cotangent
+    t = np.asarray(vs["params"]["embedding"])
+    np.testing.assert_allclose(np.asarray(g)[3], 4 * t[3], rtol=2e-2, atol=1e-3)
+    assert np.all(np.asarray(g)[0] == 0)
+
+
+def test_bf16_param_table_trains():
+    """bf16-stored table (DLRM.embed_param_dtype): the train step runs, the
+    table stays bf16 through the optimizer update, and rows change."""
+    from recommender_tpu.core.train import TrainConfig, Trainer
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+    from recommender_tpu.models.tasks import init_model, make_ctr_task
+
+    gen = SyntheticCTR(vocab_size=64, seed=0)
+    host = gen.sample(32, seed=1)
+    model = DLRM(vocab_size=64, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), embed_param_dtype=jnp.bfloat16)
+    loss_fn, eval_fn = make_ctr_task(model)
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=0.1),
+                 mesh=make_mesh(), eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, host))
+    t0 = np.asarray(state.params["embedding"]["embedding"], np.float32)
+    assert state.params["embedding"]["embedding"].dtype == jnp.bfloat16
+    batch = tr.put_batch(host)
+    for _ in range(3):
+        state, m = tr._train_step(state, batch, jax.random.PRNGKey(0))
+    assert state.params["embedding"]["embedding"].dtype == jnp.bfloat16
+    t1 = np.asarray(state.params["embedding"]["embedding"], np.float32)
+    assert np.isfinite(m["loss"]).all() and not np.allclose(t0, t1)
