@@ -1,7 +1,8 @@
 """One-off experiment: MMOE stacked-table lookup strategy matrix on TPU.
 
 Usage: python benchmarks/exp_mmoe_stacking.py <mode> [batch]
-  mode = fused_padded | fused_native | split_native | split_padded | unstacked
+  mode = fused_padded | fused_native | split_native | split_padded
+       | unstacked | unstacked_padded | unstacked_native
 """
 import os, sys, time, json
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -32,11 +33,11 @@ elif mode.startswith("split"):
 gen = SyntheticMultiTask(vocab_sizes=tuple([100_000] * 18), seed=0)
 host = gen.sample(B, seed=1)
 mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
-partition = (None,) * 18 if mode == "unstacked" else None
+partition = (None,) * 18 if mode.startswith("unstacked") else None
 model = MMOE(
     vocab_sizes=list(gen.vocab_sizes),
     partition=partition,
-    stack_tables=(mode != "unstacked"),
+    stack_tables=not mode.startswith("unstacked"),
 )
 loss_fn, eval_fn = make_multitask_task(model)
 tr = Trainer(loss_fn, TrainConfig(split_step=split), mesh=mesh, eval_fn=eval_fn)

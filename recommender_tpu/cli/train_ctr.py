@@ -58,7 +58,10 @@ def main(argv=None):
         embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
     )
     if args.model_type == "DLRM":
+        # the bottom MLP's output is the 27th embedding (ctr/model.py:51-52)
+        # so its final width must track --embedding_size
         model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                     bottom_units=(512, 256, 64, args.embedding_size),
                      partition=partition, **lookup_kw)
     else:
         model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,

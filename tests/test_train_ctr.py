@@ -83,3 +83,17 @@ def test_dlrm_sharded_matches_replicated(devices8):
         state, hist = trainer.fit(state, it, steps=5)
         results.append([h["loss"] for h in hist if "loss" in h])
     np.testing.assert_allclose(results[0], results[1], rtol=2e-3, atol=2e-3)
+
+
+def test_cli_embed_dtype_bf16(capsys, devices8):
+    """--embed_dtype bf16 trains end-to-end on the synthetic pipeline."""
+    from recommender_tpu.cli.train_ctr import main
+
+    main([
+        "--synthetic", "--steps", "30", "--train_batch_size", "64",
+        "--test_batch_size", "256", "--vocab_size", "512",
+        "--embedding_size", "8", "--eval_every", "0", "--log_every", "10",
+        "--embed_dtype", "bf16",
+    ])
+    out = capsys.readouterr().out
+    assert '"final"' in out and "nan" not in out
