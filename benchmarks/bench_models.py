@@ -122,8 +122,9 @@ def bench_mmoe(B: int = 512):
 
 
 def bench_mmoe_large():
-    """Large-batch MMOE: 147k ids/step clears the padded-backward + split
-    thresholds, so the stacked-table lookup takes the DLRM-class path."""
+    """Large-batch MMOE (18 per-table scatters of 8192 ids each — below
+    the per-call padded-backward threshold and with no big-narrow table,
+    so the plain fused native path; see RESULTS.md gate check)."""
     bench_mmoe(B=8192)
 
 

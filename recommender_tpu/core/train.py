@@ -72,8 +72,11 @@ class TrainConfig:
     # (tile-dense for Adam) which makes the row gather 4× slower and inserts
     # layout-flip copies — 14.3 → 8.9 ms/step for DLRM b8192 on v5e. The
     # second dispatch costs ~2.5 ms through the axon relay, so splitting
-    # only pays when such a table exists. None = auto-detect from the param
-    # tree on the first step (2-D leaf, ≥8M elements, ≤32 columns).
+    # only pays when such a table exists AND the step scatters enough ids.
+    # None = auto: big narrow table in the param tree (2-D leaf, ≥8M
+    # elements, ≤32 columns) and ≥_SPLIT_MIN_IDS integer elements in the
+    # batch — decided per batch structure (a warm-up minibatch doesn't
+    # latch the full-size steps onto the fused path).
     split_step: Optional[bool] = None
     # Divergence guard: at every log point (where the loss is fetched to the
     # host anyway, so it costs nothing) raise TrainingDiverged on a NaN/Inf
@@ -194,18 +197,36 @@ class Trainer:
         self._grad_step = jax.jit(grad_step)
         self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._split = self.cfg.split_step
+        self._has_big_table: Optional[bool] = None
+        self._split_by_shape: dict = {}
+
+        def _auto_split(state, batch) -> bool:
+            # Split only when (a) a big narrow table exists (the layout-
+            # flip shape class) AND (b) this step scatters enough ids
+            # that the layout win can exceed the ~2.5 ms second-dispatch
+            # cost — a small batch into a big table (e.g. MMOE b512,
+            # 9.2k ids) stays fused/dispatch-bound. Decided PER BATCH
+            # STRUCTURE (cached, like jit retracing): a warm-up minibatch
+            # must not latch the full-size steps onto the fused path.
+            if self._has_big_table is None:
+                self._has_big_table = _has_big_narrow_table(state.params)
+            if not self._has_big_table:
+                return False
+            key = tuple(
+                (getattr(l, "shape", ()), str(getattr(l, "dtype", "")))
+                for l in jax.tree_util.tree_leaves(batch)
+            )
+            hit = self._split_by_shape.get(key)
+            if hit is None:
+                hit = _batch_id_volume(batch) >= _SPLIT_MIN_IDS
+                self._split_by_shape[key] = hit
+            return hit
 
         def train_step(state: TrainState, batch, rng):
-            if self._split is None:
-                # Split only when (a) a big narrow table exists (the layout-
-                # flip shape class) AND (b) this step scatters enough ids
-                # that the layout win can exceed the ~2.5 ms second-dispatch
-                # cost — a small batch into a big table (e.g. MMOE b512,
-                # 9.2k ids) stays fused/dispatch-bound.
-                self._split = _has_big_narrow_table(state.params) and (
-                    _batch_id_volume(batch) >= _SPLIT_MIN_IDS
-                )
-            if not self._split:
+            split = self._split
+            if split is None:
+                split = _auto_split(state, batch)
+            if not split:
                 return self._fused_step(state, batch, rng)
             grads, new_ms, metrics = self._grad_step(state, batch, rng)
             new_state = self._apply_step(state, grads, new_ms)
@@ -427,8 +448,11 @@ _SPLIT_MIN_IDS = 32_768
 
 
 def _batch_id_volume(batch) -> int:
-    """Total integer elements in the batch — a proxy for embedding ids
-    scattered per step (labels/floats excluded)."""
+    """Total integer elements in the batch — a PROXY for embedding ids
+    scattered per step (float labels/features excluded). It over-counts
+    models whose batches carry non-lookup integer fields (lengths,
+    sampler metadata): those can trip the split for nothing — set
+    ``TrainConfig.split_step`` explicitly for such models."""
     total = 0
     for leaf in jax.tree_util.tree_leaves(batch):
         if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.integer):

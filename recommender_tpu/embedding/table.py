@@ -94,13 +94,14 @@ class Embedding(nn.Module):
                 table, ids, self.mesh, capacity_factor=self.capacity_factor
             )
         # Narrow tables take the custom-VJP lookup (plain gather forward,
-        # padded-width scatter backward) when the table is big-narrow
-        # (layout-flip class, pairs with the Trainer's split step: DLRM
-        # 14.3 -> 8.9 ms/step) OR when THIS call scatters enough rows that
-        # XLA's 4x-slow narrow scatter dominates the padding overhead
-        # (DIEN b1024 histories: 23.1 -> 14.0 ms/step). Small lookups keep
-        # the native take — the padded backward's pad/slice copies regress
-        # them (DIEN b128: 3.9 -> 6.2 ms).
+        # padded-width scatter backward) when THIS call scatters enough
+        # rows that XLA's 4x-slow narrow scatter dominates the padding
+        # overhead — purely volume-gated at PADDED_BWD_MIN_IDS (DLRM
+        # b8192 213k-id lookups: 14.3 -> 8.9 ms/step with the Trainer's
+        # split step; DIEN b1024 histories: 23.1 -> 14.0). Small lookups
+        # keep the native take — the padded backward's pad/slice copies
+        # regress them (DIEN b128: 3.9 -> 6.2 ms; MMOE per-table b8192:
+        # 10.1 -> 16.5).
         # Measurements: benchmarks/bench_kernels.py; design: docs/DESIGN.md.
         from recommender_tpu.ops.embedding_kernels import (
             embedding_lookup,

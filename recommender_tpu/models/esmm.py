@@ -102,7 +102,18 @@ class FeatureEmbedder(nn.Module):
         offsets = jnp.asarray(
             np.cumsum([0] + list(vocab_sizes[:-1])), dtype=features.dtype
         )
-        ids = features + offsets[None, :]  # [B, F] global rows
+        # clamp within each feature's own segment BEFORE offsetting: an
+        # out-of-range id must hit its own table's last row (jnp.take's
+        # per-table clip semantics), not bleed into the next feature's rows
+        maxima = jnp.asarray(
+            np.asarray(vocab_sizes) - 1, dtype=features.dtype
+        )
+        local = jnp.clip(features, 0, maxima[None, :])
+        ids = local + offsets[None, :]  # [B, F] global rows
+        # NOTE: the stacked path supports only the default precision /
+        # gspmd lookup config (param f32, no compute cast, no a2a) — it is
+        # measured slower and off by default (module docstring); route
+        # per-table via Embedding for the full knob surface.
         from recommender_tpu.ops.embedding_kernels import (
             embedding_lookup,
             use_padded_backward,

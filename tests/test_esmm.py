@@ -228,3 +228,25 @@ def test_stacked_embedder_matches_per_table():
     )["params"]["stacked_embedding"]
     seg = np.asarray(table[offs[1] : offs[2]])
     assert abs(seg.std() / np.asarray(solo).std() - 1.0) < 0.35
+
+
+def test_stacked_embedder_clamps_oov_within_segment():
+    """An id >= V_j must clamp to feature j's LAST row (jnp.take per-table
+    clip semantics), not bleed into feature j+1's segment."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recommender_tpu.models.esmm import FeatureEmbedder
+
+    sizes = (4, 6)
+    emb = FeatureEmbedder(sizes, embed_dim=3, stack=True)
+    ok = jnp.asarray([[3, 5]], jnp.int32)  # in-range maxima
+    oov = jnp.asarray([[9, 99]], jnp.int32)  # both out of range
+    vs = emb.init(jax.random.PRNGKey(0), ok)
+    np.testing.assert_array_equal(emb.apply(vs, oov), emb.apply(vs, ok))
+    # gradient lands on the clamped rows of each segment, nowhere else
+    g = jax.grad(lambda v: float(0) + jnp.sum(emb.apply(v, oov)))(vs)
+    g = np.asarray(g["params"]["stacked_embedding"])
+    touched = set(np.nonzero(np.abs(g).sum(1))[0].tolist())
+    assert touched == {3, 4 + 5}

@@ -57,3 +57,29 @@ def test_auto_gate_requires_id_volume():
     }
     assert _batch_id_volume(small_batch) == 512 * 18 < _SPLIT_MIN_IDS
     assert _batch_id_volume(big_batch) == 8192 * 26 >= _SPLIT_MIN_IDS
+
+
+def test_auto_split_is_per_batch_shape():
+    """A small warm-up batch must not latch the split decision: the auto
+    gate re-evaluates per batch structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from recommender_tpu.core.train import TrainConfig, Trainer
+
+    table = jnp.zeros((1_000_000, 16), jnp.float32)  # big narrow
+
+    def loss_fn(params, ms, batch, rng, train):
+        e = jnp.take(params["t"], batch["ids"].reshape(-1), axis=0)
+        per_ex = jnp.sum(e, axis=-1)
+        return per_ex, {}, ms
+
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=0.0))
+    state = tr.init_state(lambda: ({"t": table}, {}))
+    rng = jax.random.PRNGKey(0)
+    small = {"ids": jnp.zeros((8, 26), jnp.int32)}
+    big = {"ids": jnp.zeros((8192, 26), jnp.int32)}
+    state, _ = tr._train_step(state, small, rng)  # donated: chain the state
+    assert tr._split_by_shape[next(iter(tr._split_by_shape))] is False
+    state, _ = tr._train_step(state, big, rng)
+    assert True in tr._split_by_shape.values() and False in tr._split_by_shape.values()
