@@ -23,6 +23,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--train_batch_size", type=int, default=1024)
     p.add_argument("--test_batch_size", type=int, default=4096)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help=">1 = gradient accumulation over that many "
+                        "microbatches per optimizer step (memory lever)")
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--eval_batches", type=int, default=0, help="0 = full pass")
     p.add_argument("--log_every", type=int, default=100)
@@ -52,6 +55,7 @@ def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) 
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,
         early_stop_patience=getattr(args, "early_stop_patience", 0),
+        accum_steps=getattr(args, "accum_steps", 1),
     )
     return Trainer(loss_fn, cfg, mesh=mesh, param_shardings=param_shardings, eval_fn=eval_fn)
 

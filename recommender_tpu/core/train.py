@@ -84,6 +84,13 @@ class TrainConfig:
     # Recovery story: restart with --resume from the last good checkpoint
     # (docs/DESIGN.md "Failure/restart story").
     nan_guard: bool = True
+    # Gradient accumulation: >1 splits each batch into that many equal
+    # microbatches inside the jitted step (lax.scan) and averages their
+    # grads before ONE optimizer update — peak activation memory drops
+    # ~accum_steps× so the effective batch can grow past HBM limits.
+    # Math matches accum_steps=1 up to per-microbatch dropout rngs and
+    # batch stats (see compute_grads).
+    accum_steps: int = 1
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -139,22 +146,61 @@ class Trainer:
         batch_spec = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
         rep = NamedSharding(mesh, P())
 
+        def compute_grads(state: TrainState, batch, rng):
+            """(loss, aux, new_model_state), grads — with optional gradient
+            accumulation: ``cfg.accum_steps`` > 1 reshapes the batch
+            [B, ...] → [A, B/A, ...] and ``lax.scan``s microbatch
+            value_and_grads, summing into one grad tree. Peak activation
+            memory drops ~A× (one microbatch live at a time) for identical
+            math on equal microbatches (mean of means == global mean; the
+            optimizer update stays whole-batch). Divergences vs A=1:
+            per-microbatch dropout rngs and per-microbatch batch stats."""
+            rng = jax.random.fold_in(rng, state.step)
+            accum = max(int(getattr(self.cfg, "accum_steps", 1) or 1), 1)
+
+            def scalar_loss(params, model_state, mb, mb_rng):
+                per_ex, aux, new_ms = loss_fn(params, model_state, mb, mb_rng, True)
+                return jnp.mean(per_ex), (aux, new_ms)
+
+            if accum == 1:
+                (loss, (aux, new_ms)), grads = jax.value_and_grad(
+                    scalar_loss, has_aux=True
+                )(state.params, state.model_state, batch, rng)
+                return loss, aux, new_ms, grads
+
+            def to_micro(leaf):
+                b = leaf.shape[0]
+                if b % accum:
+                    raise ValueError(
+                        f"accum_steps={accum} must divide the batch size {b}"
+                    )
+                return leaf.reshape((accum, b // accum) + leaf.shape[1:])
+
+            micro = jax.tree_util.tree_map(to_micro, batch)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def body(carry, inp):
+                acc, ms = carry
+                i, mb = inp
+                (loss, (aux, new_ms)), g = jax.value_and_grad(
+                    scalar_loss, has_aux=True
+                )(state.params, ms, mb, jax.random.fold_in(rng, i))
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (acc, new_ms), (loss, aux)
+
+            (gsum, new_ms), (losses, auxs) = jax.lax.scan(
+                body, (zero_grads, state.model_state), (jnp.arange(accum), micro)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            aux = jax.tree_util.tree_map(jnp.mean, auxs)
+            return jnp.mean(losses), aux, new_ms, grads
+
         # Two step flavors — see TrainConfig.split_step and the layout study
         # in docs/DESIGN.md. The fused single-jit step is best for small
         # models (one dispatch); the split grads|optimizer pair keeps
         # row-major layouts for big narrow embedding tables (1.6× DLRM).
         def fused_step(state: TrainState, batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-
-            def scalar_loss(params):
-                per_ex, aux, new_ms = loss_fn(
-                    params, state.model_state, batch, rng, True
-                )
-                return jnp.mean(per_ex), (aux, new_ms)
-
-            (loss, (aux, new_ms)), grads = jax.value_and_grad(
-                scalar_loss, has_aux=True
-            )(state.params)
+            loss, aux, new_ms, grads = compute_grads(state, batch, rng)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
@@ -168,17 +214,7 @@ class Trainer:
             return new_state, metrics
 
         def grad_step(state: TrainState, batch, rng):
-            rng = jax.random.fold_in(rng, state.step)
-
-            def scalar_loss(params):
-                per_ex, aux, new_ms = loss_fn(
-                    params, state.model_state, batch, rng, True
-                )
-                return jnp.mean(per_ex), (aux, new_ms)
-
-            (loss, (aux, new_ms)), grads = jax.value_and_grad(
-                scalar_loss, has_aux=True
-            )(state.params)
+            loss, aux, new_ms, grads = compute_grads(state, batch, rng)
             metrics = dict(aux)
             metrics["loss"] = loss
             return grads, new_ms, metrics
