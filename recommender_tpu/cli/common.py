@@ -37,6 +37,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic dataset (no files needed)")
+    p.add_argument("--tensorboard_dir", type=str, default="",
+                   help="also write train/eval curves as TensorBoard event "
+                        "files (reference: keras TensorBoard callback, "
+                        "ctr/train.py:94)")
     return p
 
 
@@ -62,3 +66,24 @@ def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) 
 
 def log_jsonl(metrics: dict):
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v) for k, v in metrics.items()}), flush=True)
+
+
+def make_logger(args):
+    """JSONL logger, plus TensorBoard scalar events when --tensorboard_dir
+    is set. Metric dicts without a 'step' key (e.g. final evals) reuse the
+    last step seen."""
+    if not getattr(args, "tensorboard_dir", ""):
+        return log_jsonl
+    from recommender_tpu.core.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(args.tensorboard_dir)
+    last_step = [0]
+
+    def log(metrics: dict):
+        log_jsonl(metrics)
+        step = int(metrics.get("step", last_step[0]))
+        last_step[0] = max(last_step[0], step)
+        writer.scalars(metrics, step)
+        writer.flush()
+
+    return log

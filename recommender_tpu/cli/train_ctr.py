@@ -12,7 +12,7 @@ import glob
 import jax
 import jax.numpy as jnp
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
 from recommender_tpu.data.criteo import load_shards, load_vocab, shard_batches
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticCTR
@@ -43,6 +43,7 @@ def main(argv=None):
                    help="bf16 = store the table param in bfloat16 (17% step "
                         "win at DLRM scale; see DLRM.embed_param_dtype)")
     args = p.parse_args(argv)
+    log = make_logger(args)
     if args.lr_schedule == "dlrm":
         from recommender_tpu.nn.schedules import dlrm_warmup_cosine
 
@@ -106,10 +107,10 @@ def main(argv=None):
     state, _ = trainer.fit(
         state, train_iter, steps=args.steps,
         eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches,
-        log_fn=log_jsonl,
+        log_fn=log,
     )
     if eval_iter_fn is not None:
-        log_jsonl({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+        log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
 from recommender_tpu.data import amazon
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticSequence
@@ -30,6 +30,7 @@ def main(argv=None):
     p.add_argument("--test_file", type=str, default="")
     p.add_argument("--vocab_dir", type=str, default="")
     args = p.parse_args(argv)
+    log = make_logger(args)
 
     mesh = build_mesh(args)
     need_neg = args.model_type == "DIEN"
@@ -83,9 +84,9 @@ def main(argv=None):
             )
     state, _ = trainer.fit(
         state, train_iter, steps=args.steps,
-        eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches, log_fn=log_jsonl,
+        eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches, log_fn=log,
     )
-    log_jsonl({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+    log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

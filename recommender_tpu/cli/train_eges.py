@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
 from recommender_tpu.data import amazon_meta
 from recommender_tpu.graph.store import WeightedGraph
 from recommender_tpu.graph.walks import skipgram_batches
@@ -49,6 +49,7 @@ def main(argv=None):
     p.add_argument("--export", type=str, default="",
                    help="write a serving bundle (npz) of trained item embeddings")
     args = p.parse_args(argv)
+    log = make_logger(args)
 
     mesh = build_mesh(args)
     use_side = args.model_type in ("GES", "EGES")
@@ -94,10 +95,10 @@ def main(argv=None):
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:
         state = trainer.restore(state)
-    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log)
     if triples is not None:
         auc = link_prediction_auc(model, state.params, triples)
-        log_jsonl({"final": 1, "link_prediction_auc": auc})
+        log({"final": 1, "link_prediction_auc": auc})
     if args.export:
         import jax.numpy as jnp
 
@@ -112,7 +113,7 @@ def main(argv=None):
             args.export, np.asarray(hidden),
             metadata={"model": args.model_type, "embed_dim": args.embedding_size},
         )
-        log_jsonl({"exported": args.export})
+        log({"exported": args.export})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticMultiTask
 from recommender_tpu.models.esmm import ESMM, MMOE, MultiTaskBase
@@ -35,6 +35,7 @@ def main(argv=None):
     p.add_argument("--train_npz", type=str, default="", help="npz with features/click/purchase")
     p.add_argument("--test_npz", type=str, default="")
     args = p.parse_args(argv)
+    log = make_logger(args)
 
     mesh = build_mesh(args)
     ndata = mesh.shape["data"]
@@ -71,7 +72,7 @@ def main(argv=None):
             stats, num_model_shards=args.mesh_model,
             batch_per_device=args.train_batch_size // ndata,
         )
-        log_jsonl({"shard_plan": plan_summary(plans)})
+        log({"shard_plan": plan_summary(plans)})
         partition = tuple(pl.partition for pl in plans)
 
     if args.model_type == "BASE":
@@ -89,7 +90,7 @@ def main(argv=None):
             example = {k: v[: args.train_batch_size] for k, v in arrays.items()}
             state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
             it = batch_iterator(arrays, args.train_batch_size, seed=args.seed, epochs=None)
-            state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+            state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log)
             models[role] = (model, state, trainer)
         # CTCVR eval: product of both models on impressions
         (ctr_m, ctr_s, tr) = models["ctr"]
@@ -102,7 +103,7 @@ def main(argv=None):
             p_ctr = ctr_m.apply({"params": ctr_s.params}, b)
             p_cvr = cvr_m.apply({"params": cvr_s.params}, b)
             auc.update_state(batch["purchase"], np.asarray(p_ctr) * np.asarray(p_cvr))
-        log_jsonl({"final": 1, "ctcvr_auc": auc.result()})
+        log({"final": 1, "ctcvr_auc": auc.result()})
         return models
 
     model_cls = ESMM if args.model_type == "ESMM" else MMOE
@@ -126,7 +127,7 @@ def main(argv=None):
     # start_batch resumes the data stream where the restored step left off
     it = batch_iterator(train, args.train_batch_size, seed=args.seed, epochs=None,
                         start_batch=int(state.step))
-    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log)
 
     clicks = _round_to(click_only(test), ndata)
     n_clicks = len(clicks["click"])
@@ -140,7 +141,7 @@ def main(argv=None):
         trainer, state, batch_iterator(_round_to(test, ndata), args.test_batch_size, shuffle=False),
         make_head_eval(model, "ctcvr", "purchase"),
     )
-    log_jsonl({"final": 1, "cvr_auc": cvr_auc, "ctcvr_auc": ctcvr_auc})
+    log({"final": 1, "cvr_auc": cvr_auc, "ctcvr_auc": ctcvr_auc})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, log_jsonl
+from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
 from recommender_tpu.data.movielens import ground_truth_matrix, parse_movielens
 from recommender_tpu.graph.bipartite import BipartiteGraph
 from recommender_tpu.models.pinsage import ItemFeatures, PinSage
@@ -56,6 +56,7 @@ def main(argv=None):
                    help="write a serving bundle (npz) of trained item reprs")
     p.set_defaults(train_batch_size=32)
     args = p.parse_args(argv)
+    log = make_logger(args)
 
     mesh = build_mesh(args)
     if args.synthetic or not args.data_dir:
@@ -84,13 +85,13 @@ def main(argv=None):
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
     if args.resume and args.checkpoint_dir:
         state = trainer.restore(state)
-    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log_jsonl)
+    state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log)
 
     rng = np.random.default_rng(args.seed + 1)
     reprs = full_corpus_reprs(model, state.params, g, rng, **sampler_kw)
     recs = recommend_topk(reprs, latest, seen, k=args.top_k)
     gt = ground_truth_matrix(test_item, g.num_items)
-    log_jsonl({"final": 1, "hit_rate": hit_rate(recs, gt)})
+    log({"final": 1, "hit_rate": hit_rate(recs, gt)})
     if args.export:
         from recommender_tpu.retrieval.export import export_serving_bundle
 
@@ -103,7 +104,7 @@ def main(argv=None):
             args.export, reprs, nbr, w,
             metadata={"model": "pinsage", "conv_out": args.conv_output_size},
         )
-        log_jsonl({"exported": args.export})
+        log({"exported": args.export})
     if args.checkpoint_dir:
         trainer.save(state)
     return state
