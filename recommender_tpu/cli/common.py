@@ -32,6 +32,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_dcn", type=int, default=1,
+                   help=">1 = that many DCN-connected slices; each slice is "
+                        "a (mesh_data × mesh_model) ICI group and the slices "
+                        "fold into the data axis (core/mesh.py MeshSpec)")
     p.add_argument("--checkpoint_dir", type=str, default="")
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
@@ -46,8 +50,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 def build_mesh(args):
     n = len(jax.devices())
-    data = args.mesh_data or (n // args.mesh_model)
-    return make_mesh(MeshSpec(data=data, model=args.mesh_model))
+    dcn = getattr(args, "mesh_dcn", 1)
+    data = args.mesh_data or (n // (args.mesh_model * dcn))
+    return make_mesh(MeshSpec(data=data, model=args.mesh_model, dcn_data=dcn))
 
 
 def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) -> Trainer:

@@ -29,14 +29,26 @@ MODEL_AXIS = "model"
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """Logical mesh shape. ``data * model`` must equal the device count."""
+    """Logical mesh shape. ``data * model * dcn_data`` must equal the device
+    count.
+
+    ``dcn_data > 1`` is the multi-slice growth path: that many extra
+    data-parallel groups connected over DCN (slices of a multi-slice
+    deployment). They FOLD INTO the ``data`` axis — the logical mesh stays
+    2-D and no model/trainer code changes — but the device order puts the
+    slice dimension outermost-major, so XLA lowers the gradient ``psum``
+    hierarchically: reduce-scatter/all-gather over ICI within a slice, and
+    only the per-slice partials cross DCN. Embedding row-shards (``model``
+    axis) and their all-to-all stay strictly within a slice on ICI.
+    """
 
     data: int = 1
     model: int = 1
+    dcn_data: int = 1
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.data, self.model)
+        return (self.data * self.dcn_data, self.model)
 
 
 def make_mesh(
@@ -47,21 +59,36 @@ def make_mesh(
 
     With no spec, all devices go on the ``data`` axis (pure DP — the
     reference's only strategy, SURVEY.md §2.6). ``jax.experimental.mesh_utils``
-    is used when available so that the mesh is laid out along ICI neighbors.
+    is used when available so that the mesh is laid out along ICI neighbors;
+    with ``dcn_data > 1`` the hybrid (ICI × DCN) layout is used instead, and
+    if device attributes carry no slice topology (CPU test meshes) the
+    fallback assumes ``devices`` is ordered slice-major.
     """
     devices = list(devices if devices is not None else jax.devices())
     if spec is None:
         spec = MeshSpec(data=len(devices), model=1)
-    if spec.data * spec.model != len(devices):
+    n_need = spec.data * spec.model * spec.dcn_data
+    if n_need != len(devices):
         raise ValueError(
-            f"mesh {spec.shape} needs {spec.data * spec.model} devices, "
-            f"got {len(devices)}"
+            f"mesh {spec.shape} needs {n_need} devices, got {len(devices)}"
         )
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh(spec.shape, devices=devices)
+        if spec.dcn_data > 1:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (spec.data, spec.model),
+                (spec.dcn_data, 1),
+                devices=devices,
+            )
+        else:
+            dev_array = mesh_utils.create_device_mesh(
+                spec.shape, devices=devices
+            )
     except Exception:
+        # slice-major order: devices [s*data*model : (s+1)*data*model] form
+        # slice s, so reshaping (dcn*data, model) keeps each slice's block
+        # contiguous along the folded data axis
         dev_array = np.asarray(devices).reshape(spec.shape)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

@@ -161,3 +161,36 @@ def test_dlrm_a2a_lookup_matches_gspmd(devices8):
         return [h["loss"] for h in hist if "loss" in h]
 
     np.testing.assert_allclose(losses("a2a"), losses("gspmd"), rtol=1e-4, atol=1e-5)
+
+
+def test_dcn_fold_matches_flat_mesh(devices8):
+    """MeshSpec(2, 2, dcn_data=2) (multi-slice growth path) computes the
+    SAME training trajectory as the flat (4, 2) mesh — the slice axis only
+    reorders devices, never the math."""
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    gen = SyntheticCTR(vocab_size=256, seed=0)
+    batch = gen.sample(32, seed=1)
+
+    losses = []
+    for spec in [MeshSpec(4, 2), MeshSpec(2, 2, dcn_data=2)]:
+        mesh = make_mesh(spec)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "model": 2}
+        model = DLRM(vocab_size=256, embed_dim=8, bottom_units=(16, 8),
+                     top_units=(16, 1), partition="model")
+        loss_fn, _ = make_ctr_task(model)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        pshard = param_shardings(variables["params"], mesh)
+        trainer = Trainer(loss_fn, TrainConfig(learning_rate=1e-2), mesh=mesh,
+                          param_shardings=pshard)
+        state = trainer.init_state(lambda: init_model(model, batch))
+        dev_batch = trainer.put_batch(batch)
+        run = []
+        for _ in range(3):
+            state, metrics = trainer._train_step(
+                state, dev_batch, jax.random.PRNGKey(0))
+            run.append(float(metrics["loss"]))
+        losses.append(run)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
