@@ -181,7 +181,7 @@ def run_eges(steps=16000):
         report(name, steps=steps, link_prediction_auc=auc)
 
 
-def run_pinsage(steps=2000):
+def run_pinsage(steps=6000):  # the reference's hit-rate peaks at step 6000
     from recommender_tpu.data.movielens import ground_truth_matrix
     from recommender_tpu.graph.bipartite import BipartiteGraph
     from recommender_tpu.models.pinsage import ItemFeatures, PinSage
