@@ -51,6 +51,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 def build_mesh(args):
     n = len(jax.devices())
     dcn = getattr(args, "mesh_dcn", 1)
+    if dcn < 1 or args.mesh_model < 1 or args.mesh_data < 0:
+        raise SystemExit(
+            f"--mesh_dcn ({dcn}) and --mesh_model ({args.mesh_model}) must "
+            f"be >= 1, --mesh_data ({args.mesh_data}) >= 0"
+        )
     data = args.mesh_data or (n // (args.mesh_model * dcn))
     return make_mesh(MeshSpec(data=data, model=args.mesh_model, dcn_data=dcn))
 
@@ -73,22 +78,30 @@ def log_jsonl(metrics: dict):
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v) for k, v in metrics.items()}), flush=True)
 
 
-def make_logger(args):
+def make_logger(args, prefix: str = ""):
     """JSONL logger, plus TensorBoard scalar events when --tensorboard_dir
     is set. Metric dicts without a 'step' key (e.g. final evals) reuse the
-    last step seen."""
+    last step seen. ``prefix`` namespaces the run (TB tag prefix + a
+    ``role`` field in the JSONL) — used when one CLI invocation trains
+    several models (e.g. the ESMM Base two-model protocol), so their
+    curves don't conflate under identical tags."""
+    role = {"role": prefix.rstrip("/")} if prefix else {}
+
     if not getattr(args, "tensorboard_dir", ""):
-        return log_jsonl
+        if not prefix:
+            return log_jsonl
+        return lambda metrics: log_jsonl({**role, **metrics})
+
     from recommender_tpu.core.tensorboard import SummaryWriter
 
     writer = SummaryWriter(args.tensorboard_dir)
     last_step = [0]
 
     def log(metrics: dict):
-        log_jsonl(metrics)
+        log_jsonl({**role, **metrics})
         step = int(metrics.get("step", last_step[0]))
         last_step[0] = max(last_step[0], step)
-        writer.scalars(metrics, step)
+        writer.scalars(metrics, step, prefix=prefix)
         writer.flush()
 
     return log

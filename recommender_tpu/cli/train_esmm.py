@@ -80,6 +80,7 @@ def main(argv=None):
         results = {}
         models = {}
         for role, label in (("ctr", "click"), ("cvr", "purchase")):
+            role_log = make_logger(args, prefix=f"{role}/")
             data = train if role == "ctr" else _round_to(click_only(train), ndata)
             arrays = dict(data)
             arrays["label"] = arrays[label]
@@ -90,7 +91,7 @@ def main(argv=None):
             example = {k: v[: args.train_batch_size] for k, v in arrays.items()}
             state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))
             it = batch_iterator(arrays, args.train_batch_size, seed=args.seed, epochs=None)
-            state, _ = trainer.fit(state, it, steps=args.steps, log_fn=log)
+            state, _ = trainer.fit(state, it, steps=args.steps, log_fn=role_log)
             models[role] = (model, state, trainer)
         # CTCVR eval: product of both models on impressions
         (ctr_m, ctr_s, tr) = models["ctr"]

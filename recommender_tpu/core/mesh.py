@@ -85,10 +85,24 @@ def make_mesh(
             dev_array = mesh_utils.create_device_mesh(
                 spec.shape, devices=devices
             )
-    except Exception:
+    except Exception as e:
         # slice-major order: devices [s*data*model : (s+1)*data*model] form
         # slice s, so reshaping (dcn*data, model) keeps each slice's block
         # contiguous along the folded data axis
+        if spec.dcn_data > 1:
+            # on real multi-slice hardware a hybrid-mesh failure means the
+            # requested shape does not match the slice topology — a silent
+            # fallback would quietly route per-shard traffic over DCN
+            import warnings
+
+            warnings.warn(
+                f"create_hybrid_device_mesh failed ({e}); assuming `devices`"
+                f" is already slice-major for dcn_data={spec.dcn_data}. On"
+                " multi-slice hardware verify the shape matches the"
+                " topology — this fallback is only correct for test meshes"
+                " and pre-ordered device lists.",
+                stacklevel=2,
+            )
         dev_array = np.asarray(devices).reshape(spec.shape)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

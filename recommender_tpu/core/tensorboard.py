@@ -13,6 +13,7 @@ Scalars only — that is all the reference ever wrote (loss/AUC curves).
 """
 from __future__ import annotations
 
+import math
 import os
 import socket
 import struct
@@ -90,9 +91,15 @@ class SummaryWriter:
     >>> w.close()
     """
 
+    _seq = 0  # per-process uniquifier (with the pid, prevents two writers
+    # ever appending to one file and interleaving records)
+
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
-        name = "events.out.tfevents.%d.%s" % (int(time.time()), socket.gethostname())
+        SummaryWriter._seq += 1
+        name = "events.out.tfevents.%d.%s.%d.%d" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            SummaryWriter._seq)
         self.path = os.path.join(log_dir, name)
         self._f = open(self.path, "ab")
         self._f.write(_record(_event(time.time(), 0, file_version="brain.Event:2")))
@@ -104,7 +111,9 @@ class SummaryWriter:
     def scalars(self, metrics: dict, step: int, prefix: str = "") -> None:
         """Write every finite-numeric entry of ``metrics`` (skips 'step')."""
         for k, v in metrics.items():
-            if k == "step" or isinstance(v, bool) or not isinstance(v, (int, float)):
+            if (k == "step" or isinstance(v, bool)
+                    or not isinstance(v, (int, float))
+                    or not math.isfinite(v)):
                 continue
             self.scalar(prefix + k, v, step)
 

@@ -194,3 +194,13 @@ def test_dcn_fold_matches_flat_mesh(devices8):
             run.append(float(metrics["loss"]))
         losses.append(run)
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_mesh_dcn_validation():
+    import argparse
+    import pytest as _pytest
+    from recommender_tpu.cli.common import build_mesh
+
+    args = argparse.Namespace(mesh_data=0, mesh_model=1, mesh_dcn=0)
+    with _pytest.raises(SystemExit):
+        build_mesh(args)

@@ -53,3 +53,36 @@ def test_cli_writes_events(tmp_path):
     got = read_scalars(str(files[0]))
     assert any(t == "loss" for _, t, _ in got)
     assert all(math.isfinite(v) for _, _, v in got)
+
+
+def test_nonfinite_values_skipped(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.scalars({"loss": float("nan"), "auc": float("inf"), "ok": 1.0}, step=1)
+    w.close()
+    got = read_scalars(w.path)
+    assert [(s, t) for s, t, _ in got] == [(1, "ok")]
+
+
+def test_two_writers_same_second_distinct_files(tmp_path):
+    a = SummaryWriter(str(tmp_path))
+    b = SummaryWriter(str(tmp_path))
+    a.scalar("x", 1.0, 1)
+    b.scalar("x", 2.0, 1)
+    a.close(); b.close()
+    assert a.path != b.path
+    assert read_scalars(a.path) == [(1, "x", 1.0)]
+    assert read_scalars(b.path) == [(1, "x", 2.0)]
+
+
+def test_role_prefix_logger(tmp_path, capsys):
+    import argparse
+    from recommender_tpu.cli.common import make_logger
+
+    args = argparse.Namespace(tensorboard_dir=str(tmp_path))
+    log = make_logger(args, prefix="ctr/")
+    log({"loss": 0.5, "step": 3})
+    out = capsys.readouterr().out
+    assert '"role": "ctr"' in out
+    import glob
+    got = read_scalars(glob.glob(str(tmp_path / "events.*"))[0])
+    assert got == [(3, "ctr/loss", 0.5)]
