@@ -231,6 +231,10 @@ class Trainer:
 
         self._fused_step = jax.jit(fused_step, donate_argnums=(0,))
         self._grad_step = jax.jit(grad_step)
+        # apply_step warns "Some donated buffers were not usable" for the
+        # param shapes: benign — 4 donated trees of those shapes (params,
+        # grads, mu, nu) feed 3 outputs, so one buffer per shape is surplus.
+        # Verified no out-of-place updates (benchmarks/exp_apply_donation.py).
         self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._split = self.cfg.split_step
         self._has_big_table: Optional[bool] = None
