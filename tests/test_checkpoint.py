@@ -106,3 +106,35 @@ def test_restore_without_checkpoint_is_noop(tmp_path, devices8):
     state = trainer.init_state(lambda: init_model(model, example))
     restored = trainer.restore(state)
     assert restored is state
+
+
+def test_cli_interrupt_resume_matches_uninterrupted(tmp_path, capsys, devices8):
+    """A run checkpointed at step 4 and resumed for 6 more steps reproduces
+    the uninterrupted 10-step run exactly (same params ⇒ same final eval):
+    the restore brings back params+opt state+step AND the data stream
+    fast-forwards to the batch an uninterrupted run would see next."""
+    import json
+
+    from recommender_tpu.cli.train_ctr import main
+
+    base = [
+        "--synthetic", "--train_batch_size", "64", "--test_batch_size", "256",
+        "--vocab_size", "512", "--embedding_size", "8", "--eval_every", "0",
+        "--eval_batches", "2", "--log_every", "100", "--seed", "3",
+    ]
+
+    def final_eval(argv):
+        main(argv)
+        outs = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        return [o for o in outs if o.get("final")][-1]
+
+    a = final_eval(base + ["--steps", "10",
+                           "--checkpoint_dir", str(tmp_path / "a")])
+
+    ckpt = str(tmp_path / "b")
+    final_eval(base + ["--steps", "4", "--checkpoint_dir", ckpt])
+    b = final_eval(base + ["--steps", "6", "--checkpoint_dir", ckpt,
+                           "--resume"])
+
+    assert abs(a["eval_loss"] - b["eval_loss"]) < 1e-6
+    assert abs(a["eval_auc"] - b["eval_auc"]) < 1e-6
