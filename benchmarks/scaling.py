@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# the axon sitecustomize force-selects the TPU; honor an explicit CPU ask
+# (the virtual-device harness mode in the module docstring)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from recommender_tpu.core.mesh import MeshSpec, make_mesh
 from recommender_tpu.core.train import TrainConfig, Trainer
 from recommender_tpu.data.synthetic import SyntheticCTR
