@@ -39,6 +39,10 @@ def main(argv=None):
                    help="sharded-table exchange (a2a needs --mesh_model > 1)")
     p.add_argument("--a2a_capacity_factor", type=float, default=2.0,
                    help="all-to-all bucket size vs fair share; = mesh_model is lossless")
+    p.add_argument("--dedup_lookup", choices=["auto", "on", "off"], default="auto",
+                   help="host-precomputed id-dedup plans for the embedding "
+                        "backward (data/dedup.py). auto: on for replicated "
+                        "tables on a single data shard with >=32k ids/step")
     p.add_argument("--embed_dtype", choices=["f32", "bf16"], default="f32",
                    help="bf16 = store the table param in bfloat16 (17% step "
                         "win at DLRM scale; see DLRM.embed_param_dtype)")
@@ -103,6 +107,24 @@ def main(argv=None):
                 train_arrays, args.train_batch_size, seed=args.seed,
                 epochs=None, start_batch=int(state.step) + 1,
             )
+
+    # Host dedup plans for the embedding backward (Zipf ids collapse ~6x;
+    # scatter pays per row — ops/embedding_kernels.embedding_lookup_dedup).
+    # Replicated-table, single-data-shard scope; volume-gated like the
+    # padded backward. Wrapped last so it also covers the resumed stream.
+    from recommender_tpu.ops.embedding_kernels import PADDED_BWD_MIN_IDS
+
+    dedup_on = args.dedup_lookup == "on" or (
+        args.dedup_lookup == "auto"
+        and partition is None
+        and mesh.shape.get("data", 1) == 1
+        and args.train_batch_size * 26 >= PADDED_BWD_MIN_IDS
+        and jax.default_backend() == "tpu"  # backward is a Pallas TPU kernel
+    )
+    if dedup_on:
+        from recommender_tpu.data.pipeline import with_dedup_plans
+
+        train_iter = with_dedup_plans(train_iter)
 
     state, _ = trainer.fit(
         state, train_iter, steps=args.steps,

@@ -137,3 +137,46 @@ def shard_for_host(arrays: dict, host_id: int, num_hosts: int) -> dict:
     """Deterministic per-host data sharding (replaces
     ``experimental_distribute_dataset``, ``dien/distribute_train.py:190-191``)."""
     return {k: v[host_id::num_hosts] for k, v in arrays.items()}
+
+
+def with_dedup_plans(
+    it: Iterable,
+    key: str = "cat_features",
+    plan_key: str = "cat_dedup",
+    u_cap: int | None = None,
+) -> Iterator[dict]:
+    """Attach a host-precomputed embedding-ID dedup plan to each batch.
+
+    Adds ``batch[plan_key] = {"perm", "slot", "uniq"}`` over the flattened
+    ``batch[key]`` ids (``data.dedup.build_plan`` — C++ radix plan, ~2-4 ms
+    per DLRM batch in the producer thread). Models pass the plan to their
+    shared ``Embedding``, whose backward then scatters only unique rows
+    (``ops.embedding_kernels.embedding_lookup_dedup``; measured win:
+    benchmarks/exp_dedup.py, RESULTS.md).
+
+    The dedup'd backward's cost scales with ``u_cap`` (the segment-sum dest
+    and the final scatter's padded stream), so the cap must be well under
+    the flat id count for the path to pay. Default: half the flat id count
+    (rounded to 8192). A batch with more uniques than that overflows the
+    cap and is yielded planless — correct, since dedup could not have
+    halved its scatter rows anyway; both batch structures compile once and
+    coexist (jit retrace on first occurrence of each).
+
+    Runs on the host stream BEFORE ``prefetch_to_device``. Single-data-shard
+    scope (see ``embedding_lookup_dedup``); the CTR CLI gates it on
+    ``mesh.data == 1``.
+    """
+    from recommender_tpu.data.dedup import build_plan
+
+    for batch in it:
+        ids = batch[key]
+        cap = u_cap if u_cap is not None else ((ids.size // 2 + 8191) // 8192) * 8192
+        plan = build_plan(ids, cap)
+        if plan is not None:
+            batch = dict(batch)
+            batch[plan_key] = {
+                "perm": plan.perm,
+                "slot": plan.slot_sorted,
+                "uniq": plan.uniq,
+            }
+        yield batch

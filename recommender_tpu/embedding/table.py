@@ -72,7 +72,7 @@ class Embedding(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, ids: jnp.ndarray, dedup_plan: Optional[dict] = None) -> jnp.ndarray:
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform", out_axis=0)
         if self.partition is not None:
             init = nn.with_partitioning(init, (self.partition, None))
@@ -105,9 +105,21 @@ class Embedding(nn.Module):
         # Measurements: benchmarks/bench_kernels.py; design: docs/DESIGN.md.
         from recommender_tpu.ops.embedding_kernels import (
             embedding_lookup,
+            embedding_lookup_dedup,
             use_padded_backward,
         )
 
+        # Host-precomputed dedup plan riding in the batch (data/dedup.py):
+        # Zipf-skewed ids collapse ~6x to unique rows, and the plan-driven
+        # backward (segment-sum into unique slots + small table scatter)
+        # undercuts even the padded scatter. Replicated tables only — the
+        # plan indexes the device-resident flat id stream (see
+        # ops.embedding_kernels.embedding_lookup_dedup scope note).
+        if dedup_plan is not None and self.partition is None:
+            return embedding_lookup_dedup(
+                table, ids,
+                dedup_plan["perm"], dedup_plan["slot"], dedup_plan["uniq"],
+            )
         if use_padded_backward(table.shape, ids.size):
             return embedding_lookup(table, ids)
         return jnp.take(table, ids, axis=0)

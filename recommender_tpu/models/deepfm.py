@@ -54,7 +54,8 @@ class DeepFM(nn.Module):
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
         ints = batch["int_features"].reshape(-1, self.num_int)
         cats = batch["cat_features"].reshape(-1, self.num_cat)
-        emb = self.embedding(cats)  # [B, F, D]
+        # Optional host-precomputed dedup plan (data.pipeline.with_dedup_plans).
+        emb = self.embedding(cats, dedup_plan=batch.get("cat_dedup"))  # [B, F, D]
         fm = fm_cross(emb)  # [B]
         deep_in = jnp.concatenate(
             [emb.reshape(emb.shape[0], -1), ints], axis=1

@@ -63,7 +63,9 @@ class DLRM(nn.Module):
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
         ints = batch["int_features"].reshape(-1, self.num_int)
         cats = batch["cat_features"].reshape(-1, self.num_cat)
-        cat_emb = self.embedding(cats)  # [B, 26, D]
+        # Optional host-precomputed dedup plan for the id stream (attached
+        # by data.pipeline.with_dedup_plans; see embedding.table.Embedding).
+        cat_emb = self.embedding(cats, dedup_plan=batch.get("cat_dedup"))  # [B, 26, D]
         bottom = self.bottom_mlp(ints, train=train)  # [B, D]
         feats = jnp.concatenate([cat_emb, bottom[:, None, :]], axis=1)  # [B, 27, D]
         inter = self.interaction(feats)  # [B, 27*27]

@@ -62,7 +62,7 @@ _PAD_ID = np.int32(2**30)  # matches no tile row
 
 def _packed_scatter_kernel(
     chunk_tile_ref, first_ref, live_ref, blk_ref, ids_blk, upd_blk, out_ref,
-    *, pack, d_eff, row_tile, chunk
+    *, pack, d_eff, row_tile, chunk, precision
 ):
     """One grid step = one CHUNK-aligned block of updates into one packed
     output tile.
@@ -102,7 +102,11 @@ def _packed_scatter_kernel(
         tiled = jnp.concatenate([upd_blk[:]] * pack, axis=1)
         lane_blk = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1) // d_eff
         expanded = jnp.where(lane_blk == sub[:, None], tiled, jnp.zeros((), dtype))
-        out_ref[:] += jnp.dot(one_hot, expanded, preferred_element_type=jnp.float32)
+        out_ref[:] += jnp.dot(
+            one_hot, expanded,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
 
 def _eff_width(d: int) -> int:
@@ -115,7 +119,7 @@ def _eff_width(d: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "kernel_dtype", "row_tile", "chunk"),
+    static_argnames=("vocab_size", "kernel_dtype", "row_tile", "chunk", "precision"),
 )
 def sorted_scatter_add(
     sorted_ids: jnp.ndarray,
@@ -125,6 +129,7 @@ def sorted_scatter_add(
     kernel_dtype=jnp.float32,
     row_tile: int = ROW_TILE,
     chunk: int = CHUNK,
+    precision=None,
 ) -> jnp.ndarray:
     """Σ updates into a fresh [vocab_size, D] f32 table.
 
@@ -141,6 +146,12 @@ def sorted_scatter_add(
     one-hot accumulation matmul (accumulation itself stays f32 via
     ``preferred_element_type``) — 2× MXU throughput for ~2^-8 relative
     rounding on individual gradient contributions.
+
+    ``precision`` feeds the accumulation matmul. The TPU DEFAULT rounds f32
+    operands to bf16 per pass (same ~2^-8 contribution rounding as
+    ``kernel_dtype=bf16``); pass ``jax.lax.Precision.HIGHEST`` for exact-f32
+    accumulation (multi-pass — the dedup'd backward uses it and measures
+    DMA-bound, so the extra passes are ~free at its sizes).
     """
     n, d = updates.shape
     if order is not None:
@@ -206,6 +217,7 @@ def sorted_scatter_add(
             d_eff=d_eff,
             row_tile=row_tile,
             chunk=chunk,
+            precision=precision,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_pad // pack, 128), jnp.float32),
@@ -326,3 +338,53 @@ embedding_lookup.defvjp(_lookup_fwd, _lookup_bwd)
 # Pallas path pays a 1.3 ms materialized cotangent reorder — net step time
 # tied (925k vs 931k ex/s), so it was dropped. Re-evaluate per-shard
 # (model-parallel tables shrink the live tile count by 1/m) or at D≥32.
+
+
+# ------------------------------------------------------------ dedup'd lookup
+# Zipf-skewed CTR ids are repetitive (DLRM b8192: 213k rows -> ~36k unique);
+# scatters pay per ROW, so with a host-precomputed dedup plan
+# (data/dedup.py — perm / slot_sorted / uniq, ~2-4 ms C++ per batch in the
+# producer thread) the backward collapses to
+#
+#   d_uniq = sorted_scatter_add(slot_sorted, cot[perm], U_cap)  # segment-sum
+#   grad   = sorted_scatter_add(uniq, d_uniq, V)                # ~36k rows
+#
+# ``sorted_scatter_add``'s cost is destination-write + stream-read bound, so
+# the segment-sum (2.6 MB dest) and the final scatter (36k rows) together
+# undercut the 213k-row padded scatter. Measured: benchmarks/exp_dedup.py.
+#
+# Scope: replicated tables with the batch resident on one device (the
+# headline single-chip path). Under a data-sharded mesh, ``perm`` indexes
+# the GLOBAL flat id stream, so GSPMD would turn the reorder into a
+# cross-device gather — per-shard plans via shard_map are the growth path.
+
+
+@jax.custom_vjp
+def embedding_lookup_dedup(table, ids, perm, slot_sorted, uniq):
+    """``jnp.take(table, ids, axis=0)`` with a dedup'd scatter-add backward
+    driven by a host-precomputed plan (``data.dedup.build_plan``):
+    ``perm``/``slot_sorted`` [N = ids.size], ``uniq`` [U_cap] ascending,
+    padded with ids ≥ 2^30 (dropped by the kernel's tile ranges)."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _lookup_dedup_fwd(table, ids, perm, slot_sorted, uniq):
+    proto = jnp.zeros((0,), table.dtype)
+    res = (perm, slot_sorted, uniq, table.shape[0], proto)
+    return jnp.take(table, ids, axis=0), res
+
+
+def _lookup_dedup_bwd(res, cot):
+    perm, slot_sorted, uniq, vocab, proto = res
+    cot2 = cot.reshape(-1, cot.shape[-1])
+    u_cap = uniq.shape[0]
+    # HIGHEST keeps the one-hot accumulation exact in f32 (TPU DEFAULT
+    # rounds operands to bf16 per pass); both kernels are DMA-bound at
+    # these sizes so the extra passes are ~free (benchmarks/exp_dedup.py).
+    hi = jax.lax.Precision.HIGHEST
+    d_uniq = sorted_scatter_add(slot_sorted, cot2, u_cap, order=perm, precision=hi)
+    grad = sorted_scatter_add(uniq, d_uniq.astype(cot2.dtype), vocab, precision=hi)
+    return grad.astype(proto.dtype), None, None, None, None
+
+
+embedding_lookup_dedup.defvjp(_lookup_dedup_fwd, _lookup_dedup_bwd)
