@@ -1,0 +1,231 @@
+"""Comm-volume scaling model for the sharded-embedding exchanges, validated
+against the compiled HLO of the multi-chip dryrun (VERDICT r1 item 7).
+
+Real ICI is not reachable from this environment (one chip behind a relay),
+so the weak-scaling claim is made quantitatively instead of empirically:
+
+1. an analytic bytes-per-step-per-device model for each exchange strategy
+   (GSPMD gather / shard_map psum / all-to-all) as a function of
+   (global batch B, model shards m, data shards d, embed dim D, vocab V);
+2. the SAME train step jitted over an 8-virtual-device CPU mesh, with every
+   collective op and its shape extracted from the compiled HLO and its ring
+   /a2a wire volume summed — the analytic model must match what XLA
+   actually emits (op kinds and byte totals);
+3. an extrapolation to the production DLRM shape: bytes/step/device vs the
+   measured single-chip step time gives the ICI bandwidth needed for ≥80%
+   weak-scaling efficiency, compared against the v5e spec.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python benchmarks/comm_model.py
+"""
+from __future__ import annotations
+
+import functools
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from recommender_tpu.core.mesh import MeshSpec, make_mesh
+from recommender_tpu.core.train import TrainConfig, Trainer
+from recommender_tpu.models.dlrm import DLRM
+from recommender_tpu.models.tasks import init_model, make_ctr_task
+from recommender_tpu.parallel.partitioning import param_shardings
+
+print = functools.partial(print, flush=True)
+
+F = 26  # categorical features per example
+DTYPE_BYTES = 4
+
+
+# --------------------------------------------------------------- analytic model
+def dlrm_dense_bytes(bottom=(512, 256, 64, 16), top=(512, 256, 1),
+                     n_int=13, F=26, D=16) -> int:
+    """f32 bytes of the DLRM dense (non-table) params: replicated, so their
+    gradient all-reduces over the data axis every step."""
+    n = 0
+    prev = n_int
+    for u in bottom:
+        n += prev * u + u
+        prev = u
+    prev = (F + 1) ** 2 + D  # DotInteraction flat output ∥ bottom out
+    for u in top:
+        n += prev * u + u
+        prev = u
+    return n * DTYPE_BYTES
+
+
+def predict_bytes(strategy: str, B: int, m: int, d: int, D: int, V: int,
+                  cf: float = 2.0, dense_bytes: int = 0) -> dict:
+    """Per-device ICI bytes per train step (fwd exchange + bwd reductions).
+
+    Ring collective wire cost per device for an n-way all-reduce of S bytes:
+    2·S·(n-1)/n (reduce-scatter + all-gather). All-to-all of an [n, C]-per-
+    device buffer moves S·(n-1)/n (each device keeps its own row).
+    """
+    n_local = B // d * F  # lookup rows owned by one data replica
+    act = n_local * D * DTYPE_BYTES  # activation payload [B/d, F, D]
+    out = {}
+    if strategy in ("gspmd", "psum"):
+        # fwd: every model shard contributes a masked [B/d, F, D]; psum over m.
+        # bwd: the cotangent arrives replicated over model (transpose of a
+        # psum is identity into each shard) — no second model collective;
+        # the table grad stays shard-local.
+        out["fwd_model_allreduce"] = 2 * act * (m - 1) / m
+        out["bwd_model"] = 0.0
+    elif strategy == "a2a":
+        C = int(np.ceil(n_local / m * cf))
+        ids = m * C * DTYPE_BYTES
+        vecs = m * C * D * DTYPE_BYTES
+        # fwd: ids out, vectors back; bwd: cotangent vectors out, (transpose
+        # of the id exchange is index-only, no float traffic back)
+        out["fwd_ids_a2a"] = ids * (m - 1) / m
+        out["fwd_vecs_a2a"] = vecs * (m - 1) / m
+        out["bwd_vecs_a2a"] = vecs * (m - 1) / m
+    else:
+        raise ValueError(strategy)
+    # dense-param gradient all-reduce over data (MLPs; table grads are
+    # sharded over model and psum'd over data): count the table part only
+    # when the table is replicated over data, which it is (d × m mesh).
+    table_grad = (V // m) * D * DTYPE_BYTES
+    out["bwd_data_grad_allreduce"] = 2 * (table_grad + dense_bytes) * (d - 1) / d
+    out["total"] = sum(out.values())
+    return out
+
+
+# ----------------------------------------------------------- HLO measurement
+_SHAPE_RE = re.compile(r"(f32|s32|u32|bf16|pred|f64|s64)\[([\d,]*)\]")
+
+_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "pred": 1, "f64": 8, "s64": 8}
+
+
+def _shape_bytes(sig: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(sig):
+        n = 1
+        for x in dims.split(","):
+            if x:
+                n *= int(x)
+        total += n * _BYTES[dt]
+    return total
+
+
+def collectives_in_hlo(hlo: str) -> list[tuple[str, str, int, int]]:
+    """(op kind, result shapes, payload bytes, group size) per collective."""
+    found = []
+    for line in hlo.splitlines():
+        line = line.strip()
+        mm = re.match(
+            r"(?:ROOT )?%?[\w.\-]+ = (.*?) "
+            r"(all-reduce|all-to-all|all-gather|reduce-scatter|collective-permute)"
+            r"(?:-start)?\(",
+            line,
+        )
+        if not mm:
+            continue
+        sig, kind = mm.group(1), mm.group(2)
+        if "-done" in line:
+            continue  # counted at the -start op
+        gsize = 0
+        groups = re.search(r"replica_groups=\{([^}]*)\}", line)
+        if groups:
+            first = groups.group(1).split("},{")[0].strip("{}")
+            gsize = len([x for x in first.split(",") if x.strip() != ""])
+        else:  # iota format: replica_groups=[G,S]<=[...]
+            iota = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
+            if iota:
+                gsize = int(iota.group(2))
+        found.append((kind, sig, _shape_bytes(sig), gsize))
+    return found
+
+
+def wire_bytes(found) -> float:
+    """Ring-model per-device wire bytes for the collected collectives."""
+    total = 0.0
+    for kind, _sig, size, g in found:
+        if g <= 1:
+            continue
+        if kind == "all-reduce":
+            total += 2 * size * (g - 1) / g
+        elif kind in ("all-to-all", "all-gather", "reduce-scatter"):
+            total += size * (g - 1) / g
+        elif kind == "collective-permute":
+            total += size
+    return total
+
+
+def compile_step(lookup_mode: str, mesh, B: int, V: int, D: int):
+    model = DLRM(
+        vocab_size=V, embed_dim=D, bottom_units=(16, D), top_units=(16, 1),
+        partition="model", lookup_mode=lookup_mode,
+        mesh=mesh if lookup_mode == "a2a" else None,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "int_features": rng.normal(size=(B, 13)).astype(np.float32),
+        "cat_features": rng.integers(0, V, size=(B, F)).astype(np.int32),
+        "label": (rng.random(B) < 0.5).astype(np.float32),
+    }
+    loss_fn, eval_fn = make_ctr_task(model)
+    var_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), batch))
+    pshard = param_shardings(var_shapes["params"], mesh)
+    tr = Trainer(loss_fn, TrainConfig(split_step=False), mesh=mesh,
+                 param_shardings=pshard, eval_fn=eval_fn)
+    state = tr.init_state(lambda: init_model(model, batch))
+    dev_batch = tr.put_batch(batch)
+    lowered = jax.jit(
+        lambda s, b, r: tr._fused_step.__wrapped__(s, b, r)
+    ).lower(state, dev_batch, jax.random.PRNGKey(0))
+    return lowered.compile().as_text()
+
+
+def main():
+    d, m = 2, 4
+    mesh = make_mesh(MeshSpec(data=d, model=m))
+    B, V, D = 64, 512, 8
+    print(f"mesh data={d} model={m}; DLRM B={B} V={V} D={D} F={F}\n")
+    toy_dense = dlrm_dense_bytes(bottom=(16, D), top=(16, 1), F=F, D=D)
+    for strategy, lookup in (("gspmd", "gspmd"), ("a2a", "a2a")):
+        pred = predict_bytes(strategy, B, m, d, D, V, dense_bytes=toy_dense)
+        hlo = compile_step(lookup, mesh, B, V, D)
+        found = collectives_in_hlo(hlo)
+        measured = wire_bytes(found)
+        print(f"[{strategy}] predicted/device/step:")
+        for k, v in pred.items():
+            print(f"    {k:28s} {v:12,.0f} B")
+        print(f"  HLO collectives:")
+        for kind, sig, size, g in found:
+            print(f"    {kind:20s} {size:10,d} B  groups of {g}  {sig[:60]}")
+        print(f"  HLO ring-model wire bytes/device: {measured:12,.0f} B "
+              f"(predicted {pred['total']:,.0f} B)\n")
+
+    # ---------------- production-shape extrapolation (printed for RESULTS.md)
+    print("production DLRM shape (B=8192 global, V=1M, D=16, F=26):")
+    t_step = 8.8e-3  # measured single-chip step (benchmarks/RESULTS.md)
+    ici_bw = 200e9   # v5e spec: 1,600 Gbps interchip bandwidth per chip
+    prod_dense = dlrm_dense_bytes()
+    for d_prod, m_prod in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        for strat in ("gspmd", "a2a"):
+            p = predict_bytes(strat, 8192 * d_prod, m_prod, d_prod, 16,
+                              1_000_000, dense_bytes=prod_dense)
+            t_comm = p["total"] / ici_bw
+            eff = t_step / (t_step + t_comm)  # zero-overlap lower bound
+            print(f"  d={d_prod} m={m_prod} {strat:6s}: {p['total'] / 1e6:8.2f} MB/step/chip"
+                  f" → {t_comm * 1e3:6.2f} ms wire, weak-scaling eff"
+                  f" ≥ {eff:.1%} (no overlap)")
+
+
+if __name__ == "__main__":
+    main()

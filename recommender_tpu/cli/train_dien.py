@@ -86,7 +86,7 @@ def main(argv=None):
         state, train_iter, steps=args.steps,
         eval_iter_fn=eval_iter_fn, eval_batches=args.eval_batches, log_fn=log,
     )
-    log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches)})
+    log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches, exact=True)})
     if args.checkpoint_dir:
         trainer.save(state)
     return state

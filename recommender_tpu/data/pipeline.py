@@ -155,23 +155,51 @@ def with_dedup_plans(
     benchmarks/exp_dedup.py, RESULTS.md).
 
     The dedup'd backward's cost scales with ``u_cap`` (the segment-sum dest
-    and the final scatter's padded stream), so the cap must be well under
-    the flat id count for the path to pay. Default: half the flat id count
-    (rounded to 8192). A batch with more uniques than that overflows the
-    cap and is yielded planless — correct, since dedup could not have
-    halved its scatter rows anyway; both batch structures compile once and
-    coexist (jit retrace on first occurrence of each).
+    and the final scatter's padded stream), so the cap must sit close to the
+    real unique count for the path's full win. ``u_cap=None`` (default) sizes
+    it ADAPTIVELY: the first batch's observed uniques + 25% headroom, rounded
+    up to 8192 (DLRM b8192: ~36k uniques → cap 49,152, vs 106,496 at the old
+    fixed N/2). A later batch overflowing the cap re-sizes it upward once
+    (one jit retrace for the new shape) rather than degrading to a planless
+    step forever; caps only grow, so steady state is one compiled shape.
 
     Runs on the host stream BEFORE ``prefetch_to_device``. Single-data-shard
     scope (see ``embedding_lookup_dedup``); the CTR CLI gates it on
     ``mesh.data == 1``.
     """
-    from recommender_tpu.data.dedup import build_plan
+    import dataclasses
 
+    from recommender_tpu.data.dedup import PAD_ID, build_plan
+
+    def round8k(n: int) -> int:
+        return max(8192, ((n + 8191) // 8192) * 8192)
+
+    def sized(plan, cap: int):
+        """Re-pad a generously-capped plan's uniq array to ``cap``."""
+        if plan.uniq.size == cap:
+            return plan
+        if plan.uniq.size > cap:
+            return dataclasses.replace(plan, uniq=plan.uniq[:cap])
+        uniq = np.full(cap, PAD_ID, np.int32)
+        uniq[: plan.uniq.size] = plan.uniq
+        return dataclasses.replace(plan, uniq=uniq)
+
+    cap = u_cap
     for batch in it:
         ids = batch[key]
-        cap = u_cap if u_cap is not None else ((ids.size // 2 + 8191) // 8192) * 8192
-        plan = build_plan(ids, cap)
+        if u_cap is not None:
+            plan = build_plan(ids, u_cap)  # fixed cap: overflow → planless
+        else:
+            if cap is None:  # size from the first batch
+                probe = build_plan(ids, ids.size)
+                cap = round8k(int(probe.n_unique * 1.25))
+                plan = sized(probe, cap)
+            else:
+                plan = build_plan(ids, cap)
+                if plan is None:  # grow the cap once, keep the plan
+                    probe = build_plan(ids, ids.size)
+                    cap = round8k(int(probe.n_unique * 1.25))
+                    plan = sized(probe, cap)
         if plan is not None:
             batch = dict(batch)
             batch[plan_key] = {

@@ -91,6 +91,31 @@ def plan_tables(
     return plans
 
 
+def capacity_factor_from_ids(
+    ids: np.ndarray,
+    num_shards: int,
+    vocab_size: int,
+    headroom: float = 1.25,
+) -> float:
+    """Smallest all-to-all ``capacity_factor`` that is LOSSLESS on this
+    sample of real lookup ids, times ``headroom`` (capped at ``num_shards``,
+    which is lossless for any skew).
+
+    The bucket capacity is ``ceil(n/m · factor)``, so losslessness requires
+    ``factor ≥ max_shard_count / (n/m)``. Feed a representative batch (or a
+    few) and wire the result into ``Embedding.capacity_factor`` /
+    ``--a2a_capacity_factor``; the train metrics' ``a2a_overflow`` counter
+    (``sharded.all_to_all_lookup(return_overflow=True)``) then verifies the
+    choice live."""
+    flat = np.asarray(ids).reshape(-1)
+    rows = max(vocab_size // num_shards, 1)
+    owner = np.clip(flat // rows, 0, num_shards - 1)
+    counts = np.bincount(owner, minlength=num_shards)
+    fair = flat.size / num_shards
+    need = counts.max() / max(fair, 1.0)
+    return float(min(need * headroom, float(num_shards)))
+
+
 def plan_summary(plans: Sequence[TablePlan]) -> str:
     lines = []
     for p in plans:

@@ -90,9 +90,21 @@ class Embedding(nn.Module):
         ):
             from recommender_tpu.embedding.sharded import all_to_all_lookup
 
-            return all_to_all_lookup(
-                table, ids, self.mesh, capacity_factor=self.capacity_factor
+            vecs, dropped = all_to_all_lookup(
+                table, ids, self.mesh, capacity_factor=self.capacity_factor,
+                return_overflow=True,
             )
+            # One psum'd scalar: ids served a 0 vector this step because a
+            # destination bucket overflowed (skewed batch). Sown into the
+            # "diagnostics" collection — a no-op unless the caller marks it
+            # mutable (tasks._apply does during training), so eval paths
+            # pay nothing. Rides the metrics dict as ``a2a_overflow``.
+            self.sow(
+                "diagnostics", "a2a_overflow", dropped,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+                reduce_fn=jnp.add,
+            )
+            return vecs
         # Narrow tables take the custom-VJP lookup (plain gather forward,
         # padded-width scatter backward) when THIS call scatters enough
         # rows that XLA's 4x-slow narrow scatter dominates the padding

@@ -25,14 +25,35 @@ def init_model(model: nn.Module, example_batch: dict, seed: int = 0):
 
 
 def _apply(model, params, model_state, batch, train):
+    """Apply with mutable collections during training. The transient
+    "diagnostics" collection (e.g. the a2a overflow counter sown by
+    ``embedding.table.Embedding``) is always mutable at train time so sown
+    scalars surface; callers split it off with ``_pop_diagnostics`` — it
+    must NOT persist into ``TrainState.model_state``."""
     variables = {"params": params, **model_state}
-    if train and model_state:
+    if train:
         out, updates = model.apply(
-            variables, batch, train=True, mutable=list(model_state.keys())
+            variables, batch, train=True,
+            mutable=list(model_state.keys()) + ["diagnostics"],
         )
         return out, updates
     out = model.apply(variables, batch, train=train)
     return out, model_state
+
+
+def _pop_diagnostics(new_ms, aux):
+    """Move sown diagnostics out of the mutable-collection tree into the
+    step's metrics dict (flattened to scalar entries)."""
+    if not isinstance(new_ms, dict) or "diagnostics" not in new_ms:
+        return new_ms, aux
+    new_ms = dict(new_ms)
+    diag = new_ms.pop("diagnostics")
+    flat = jax.tree_util.tree_leaves_with_path(diag)
+    for path, leaf in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        # several tables sow under the same trailing name — sum them
+        aux[name] = aux[name] + leaf if name in aux else leaf
+    return new_ms, aux
 
 
 def make_ctr_task(model: nn.Module) -> tuple[Callable, Callable]:
@@ -42,6 +63,7 @@ def make_ctr_task(model: nn.Module) -> tuple[Callable, Callable]:
         prob, new_ms = _apply(model, params, model_state, batch, train)
         per_ex = binary_cross_entropy(prob, batch["label"])
         aux = {"prob_mean": jnp.mean(prob)}
+        new_ms, aux = _pop_diagnostics(new_ms, aux)
         return per_ex, aux, new_ms
 
     def eval_fn(params, model_state, batch):
@@ -62,6 +84,7 @@ def make_multitask_task(model: nn.Module):
         l_ctcvr = binary_cross_entropy(heads["ctcvr"], batch["purchase"])
         per_ex = 0.5 * (l_ctr + l_ctcvr)
         aux = {"ctr_loss": jnp.mean(l_ctr), "ctcvr_loss": jnp.mean(l_ctcvr)}
+        new_ms, aux = _pop_diagnostics(new_ms, aux)
         return per_ex, aux, new_ms
 
     def eval_fn(params, model_state, batch):
@@ -108,7 +131,8 @@ def make_skipgram_task(model: nn.Module):
     def loss_fn(params, model_state, batch, rng, train):
         logits, new_ms = _apply(model, params, model_state, batch, train)
         per_ex = jnp.mean(bce_with_logits(logits, batch["label"]), axis=-1)
-        return per_ex, {}, new_ms
+        new_ms, aux = _pop_diagnostics(new_ms, {})
+        return per_ex, aux, new_ms
 
     def eval_fn(params, model_state, batch):
         logits, _ = _apply(model, params, model_state, batch, False)
@@ -157,7 +181,8 @@ def make_aux_loss_task(model: nn.Module, aux_weight: float = 1.0):
     def loss_fn(params, model_state, batch, rng, train):
         (prob, aux_loss), new_ms = _apply(model, params, model_state, batch, train)
         per_ex = binary_cross_entropy(prob, batch["label"]) + aux_weight * aux_loss
-        return per_ex, {"aux_loss": jnp.mean(aux_loss)}, new_ms
+        new_ms, aux = _pop_diagnostics(new_ms, {"aux_loss": jnp.mean(aux_loss)})
+        return per_ex, aux, new_ms
 
     def eval_fn(params, model_state, batch):
         (prob, _), _ = _apply(model, params, model_state, batch, False)

@@ -83,3 +83,47 @@ def test_all_to_all_data_sharded_grads(devices8):
     g1 = np.asarray(jax.jit(jax.grad(loss_a2a))(tbl))
     g2 = np.asarray(jax.grad(loss_ref)(jnp.asarray(t)))
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_overflow_counter_and_planner_capacity(devices8):
+    """A skewed batch reports nonzero ``a2a_overflow`` in the train metrics;
+    the planner's measured-skew capacity drives it to zero on the same batch
+    (VERDICT r1 Weak #3 / item 6)."""
+    from recommender_tpu.core.train import TrainConfig, Trainer
+    from recommender_tpu.embedding.planner import capacity_factor_from_ids
+    from recommender_tpu.models.dlrm import DLRM
+    from recommender_tpu.models.tasks import init_model, make_ctr_task
+    from recommender_tpu.parallel.partitioning import param_shardings
+
+    mesh = make_mesh(MeshSpec(2, 4))
+    V, m = 64, 4
+    rng = np.random.default_rng(0)
+    batch = {
+        "int_features": rng.normal(size=(16, 13)).astype(np.float32),
+        # every id owned by shard 0 -> worst-case skew
+        "cat_features": rng.integers(0, V // m, size=(16, 26)).astype(np.int32),
+        "label": (rng.random(16) < 0.5).astype(np.float32),
+    }
+
+    def run(capacity_factor):
+        model = DLRM(
+            vocab_size=V, embed_dim=8, bottom_units=(16, 8), top_units=(16, 1),
+            partition="model", lookup_mode="a2a", mesh=mesh,
+            capacity_factor=capacity_factor,
+        )
+        loss_fn, eval_fn = make_ctr_task(model)
+        var_shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), batch)
+        )
+        pshard = param_shardings(var_shapes["params"], mesh)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=0.01, split_step=False),
+                     mesh=mesh, param_shardings=pshard, eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, batch))
+        _, metrics = tr._train_step(state, tr.put_batch(batch), jax.random.PRNGKey(0))
+        return int(metrics["a2a_overflow"])
+
+    assert run(1.0) > 0  # fair-share capacity drops ids under this skew
+
+    cap = capacity_factor_from_ids(batch["cat_features"], m, V)
+    assert cap == float(m)  # max skew -> lossless bound
+    assert run(cap) == 0

