@@ -163,7 +163,7 @@ def bench_eges():
     report("eges_host_sampling_b4096", dt, B)
 
 
-def bench_pinsage():
+def bench_pinsage(B=32):
     from recommender_tpu.graph.bipartite import BipartiteGraph
     from recommender_tpu.models.pinsage import ItemFeatures, PinSage
     from recommender_tpu.models.pinsage_task import (
@@ -180,7 +180,9 @@ def bench_pinsage():
         year=rng.integers(0, 81, V).astype(np.int32),
         genre=(rng.random((V, 18)) < 0.2).astype(np.float32),
     )
-    B = 32  # reference batch (pinsage/train/train.py)
+    # B=32 is the reference batch (pinsage/train/train.py); nothing in the
+    # pipeline requires it — b512/b1024 amortize the fixed ~2.5 ms axon-relay
+    # dispatch that dominates the b32 step (VERDICT r1 #8).
     model = PinSage(features=feats)
     loss_fn = make_pinsage_task(model)
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
@@ -210,7 +212,12 @@ def bench_pinsage():
         dt = (time.perf_counter() - t0) / n_steps
     finally:
         pf.close()
-    report("pinsage_ml1m_b32_endtoend", dt, B)
+    report(f"pinsage_ml1m_b{B}_endtoend", dt, B)
+
+
+def bench_pinsage_large():
+    bench_pinsage(B=512)
+    bench_pinsage(B=1024)
 
 
 if __name__ == "__main__":

@@ -52,17 +52,48 @@ def run(chain: int) -> float:
     return (time.perf_counter() - t0) / N
 
 
+def run_pytree(chain: int, n_leaves: int = 64) -> float:
+    """Same measurement with a realistic train-step argument: a state pytree
+    of ``n_leaves`` arrays chained through the jit(s). Dispatch cost scales
+    with argument marshaling, so the trivial single-array number understates
+    what a split train step actually pays."""
+
+    @jax.jit
+    def fs(state):
+        return {k: v + 1.0 for k, v in state.items()}
+
+    @jax.jit
+    def gs(state):
+        return {k: v * 1.0000001 for k, v in state.items()}
+
+    state = {f"p{i}": jnp.zeros((8, 128), jnp.float32) for i in range(n_leaves)}
+    for _ in range(3):
+        state2 = fs(state)
+        if chain == 2:
+            state2 = gs(state2)
+    float(state2["p0"].sum())
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(N):
+        s = fs(s)
+        if chain == 2:
+            s = gs(s)
+    float(s["p0"].sum())
+    return (time.perf_counter() - t0) / N
+
+
 def main():
-    t1 = run(1)
-    t2 = run(2)
-    # interleave once more to cancel drift
-    t1b = run(1)
-    t2b = run(2)
-    one = min(t1, t1b)
-    two = min(t2, t2b)
-    print(f"1 jit/step : {one * 1e3:.3f} ms")
-    print(f"2 jits/step: {two * 1e3:.3f} ms")
-    print(f"marginal extra-dispatch cost: {(two - one) * 1e3:.3f} ms")
+    for tag, fn in (("1-array", run), ("64-leaf pytree", run_pytree)):
+        t1 = fn(1)
+        t2 = fn(2)
+        # interleave once more to cancel drift
+        t1b = fn(1)
+        t2b = fn(2)
+        one = min(t1, t1b)
+        two = min(t2, t2b)
+        print(f"[{tag}] 1 jit/step : {one * 1e3:.3f} ms")
+        print(f"[{tag}] 2 jits/step: {two * 1e3:.3f} ms")
+        print(f"[{tag}] marginal extra-dispatch cost: {(two - one) * 1e3:.3f} ms")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,7 @@ def build_trainer(args, loss_fn, eval_fn=None, mesh=None, param_shardings=None) 
         seed=args.seed,
         early_stop_patience=getattr(args, "early_stop_patience", 0),
         accum_steps=getattr(args, "accum_steps", 1),
+        lr_scales=getattr(args, "lr_scales", None) or None,
     )
     return Trainer(loss_fn, cfg, mesh=mesh, param_shardings=param_shardings, eval_fn=eval_fn)
 

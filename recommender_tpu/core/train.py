@@ -91,17 +91,55 @@ class TrainConfig:
     # Math matches accum_steps=1 up to per-microbatch dropout rngs and
     # batch stats (see compute_grads).
     accum_steps: int = 1
+    # Per-parameter update scaling: {path-substring: multiplier} applied
+    # AFTER the base optimizer (Adam normalizes away plain gradient scaling,
+    # so this is the only way to give a subtree a different effective LR).
+    # Motivation: GES/EGES combine hidden = mean(id, cat, brand) embeddings,
+    # so each table contributes 1/3 of the hidden movement per Adam step and
+    # the models need ~4x BGE's steps to reach their AUC floor
+    # (benchmarks/RESULTS.md). Scaling those tables' updates ~3x reclaims it
+    # while keeping reference semantics (/root/reference/eges/model.py:58-102)
+    # at scale 1. A path matches if any key substring appears in its
+    # '/'-joined parameter path.
+    lr_scales: Optional[dict] = None
+
+
+def _scale_updates_by_path(scales: dict) -> optax.GradientTransformation:
+    """Stateless transform multiplying updates whose param path matches."""
+
+    def path_mult(path) -> float:
+        joined = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        m = 1.0
+        for sub, s in scales.items():
+            if sub in joined:
+                m *= float(s)
+        return m
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * path_mult(path), updates
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     lr = cfg.learning_rate
     if cfg.optimizer == "adam":
-        return optax.adam(lr)
-    if cfg.optimizer == "adagrad":
-        return optax.adagrad(lr)
-    if cfg.optimizer == "sgd":
-        return optax.sgd(lr)
-    raise ValueError(cfg.optimizer)
+        base = optax.adam(lr)
+    elif cfg.optimizer == "adagrad":
+        base = optax.adagrad(lr)
+    elif cfg.optimizer == "sgd":
+        base = optax.sgd(lr)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.lr_scales:
+        return optax.chain(base, _scale_updates_by_path(cfg.lr_scales))
+    return base
 
 
 class TrainingDiverged(RuntimeError):
