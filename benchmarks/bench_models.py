@@ -200,7 +200,12 @@ def bench_pinsage(B=32):
     step = tr._train_step
     state, m = step(state, tr.put_batch(example), rng_key)
     float(m["loss"])
-    pf = prefetch_to_device(it, size=2, put_fn=tr.put_batch)
+    # at large batch the ~25 us/example host sampling outweighs the device
+    # step — fan out to 4 iid sampler threads (C++ sampler releases the GIL)
+    src = it if B <= 64 else [
+        pinsage_train_batches(g, B, seed=s) for s in range(1, 7)
+    ]
+    pf = prefetch_to_device(src, size=6, put_fn=tr.put_batch)
     try:
         state, m = step(state, next(pf), rng_key)
         float(m["loss"])
@@ -218,6 +223,7 @@ def bench_pinsage(B=32):
 def bench_pinsage_large():
     bench_pinsage(B=512)
     bench_pinsage(B=1024)
+    bench_pinsage(B=2048)
 
 
 if __name__ == "__main__":

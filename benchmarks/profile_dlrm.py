@@ -8,11 +8,14 @@ Times jitted variants in throughput mode (sync once per N steps, axon-safe):
   gather_only — 213k-row gather from the 1M x 16 table
   scatter_only— 213k-row scatter-add into 1M x 16 (as in-step bwd would)
 """
+import functools
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+print = functools.partial(print, flush=True)
 
 import jax
 import jax.numpy as jnp

@@ -41,8 +41,9 @@ def main(argv=None):
                    help="all-to-all bucket size vs fair share; = mesh_model is lossless")
     p.add_argument("--dedup_lookup", choices=["auto", "on", "off"], default="auto",
                    help="host-precomputed id-dedup plans for the embedding "
-                        "backward (data/dedup.py). auto: on for replicated "
-                        "tables on a single data shard with >=32k ids/step")
+                        "backward (data/dedup.py). MEASURED e2e LOSS on v5e "
+                        "(0.92x DLRM b8192, benchmarks/RESULTS.md) — auto "
+                        "resolves to OFF; 'on' keeps the path exercisable")
     p.add_argument("--embed_dtype", choices=["f32", "bf16"], default="f32",
                    help="bf16 = store the table param in bfloat16 (17% step "
                         "win at DLRM scale; see DLRM.embed_param_dtype)")
@@ -110,12 +111,8 @@ def main(argv=None):
 
     # Host dedup plans for the embedding backward (Zipf ids collapse ~6x;
     # scatter pays per row — ops/embedding_kernels.embedding_lookup_dedup).
-    # Replicated-table, single-data-shard scope; volume-gated like the
-    # padded backward. Wrapped last so it also covers the resumed stream.
-    from recommender_tpu.ops.embedding_kernels import PADDED_BWD_MIN_IDS
-
-    # id volume derived from the actual batch (not a hardcoded 26 features)
-    n_ids_per_step = int(example["cat_features"].size)
+    # Replicated-table, single-data-shard scope. Wrapped last so it also
+    # covers the resumed stream.
     if args.dedup_lookup == "on":
         # 'on' still fails fast on configs where the plan-driven backward is
         # broken or self-defeating, instead of crashing at first grad /
@@ -137,14 +134,15 @@ def main(argv=None):
             )
         dedup_on = True
     else:
-        dedup_on = (
-            args.dedup_lookup == "auto"
-            and partition is None
-            and mesh.shape.get("data", 1) == 1
-            and args.accum_steps == 1
-            and n_ids_per_step >= PADDED_BWD_MIN_IDS
-            and jax.default_backend() == "tpu"  # backward is a Pallas TPU kernel
-        )
+        # auto resolves to OFF: the plan-driven backward measured an e2e
+        # LOSS at the exact shape it was built for (DLRM b8192, 1M x 16:
+        # 8.84 -> 9.66 ms/step, benchmarks/exp_dedup_e2e.py 2026-08-20 —
+        # the segment-sum + small scatter don't beat XLA's fused
+        # pad+scatter-in-cotangent-producer, and the perm gather adds a
+        # materialized reorder). Kept as an explicit 'on' for future
+        # per-shard use where the scatter is NOT fusable with the
+        # cotangent producer.
+        dedup_on = False
     if dedup_on:
         from recommender_tpu.data.pipeline import with_dedup_plans
 

@@ -68,17 +68,28 @@ class Prefetcher:
     _END = object()
 
     def __init__(self, it: Iterable, size: int = 2, put_fn: Callable = None):
-        self._q: queue.Queue = queue.Queue(maxsize=size)
+        # a list/tuple of iterables fans out to one producer thread each
+        # (unordered interleave into the shared queue) — for iid sampler
+        # streams whose per-batch host cost exceeds the device step, e.g.
+        # PinSage block sampling (C++ via ctypes releases the GIL, so
+        # threads genuinely parallelize the sampling).
+        its = list(it) if isinstance(it, (list, tuple)) else [it]
+        self._q: queue.Queue = queue.Queue(maxsize=max(size, len(its)))
         self._stop = threading.Event()
-        self._it = it
         self._put_fn = put_fn
         self._error: BaseException | None = None
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
+        self._live = len(its)
+        self._live_lock = threading.Lock()
+        self._threads = [
+            threading.Thread(target=self._producer, args=(i,), daemon=True)
+            for i in its
+        ]
+        for t in self._threads:
+            t.start()
 
-    def _producer(self):
+    def _producer(self, it):
         try:
-            for item in self._it:
+            for item in it:
                 if self._stop.is_set():
                     return
                 out = self._put_fn(item) if self._put_fn else item
@@ -93,15 +104,20 @@ class Prefetcher:
         except BaseException as e:  # surfaced to the consumer in __next__
             self._error = e
         finally:
-            # deliver the END marker even when the queue is full (blocking
+            # the LAST live producer delivers the END marker (errors end the
+            # stream immediately), even when the queue is full (blocking
             # put_nowait would drop it and deadlock the consumer); give up
             # only once the consumer called close()
-            while not self._stop.is_set():
-                try:
-                    self._q.put(Prefetcher._END, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            with self._live_lock:
+                self._live -= 1
+                last = self._live == 0
+            if last or self._error is not None:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(Prefetcher._END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
     def __iter__(self):
         return self
@@ -130,6 +146,8 @@ class Prefetcher:
 
 
 def prefetch_to_device(it: Iterable, size: int = 2, put_fn: Callable = None) -> Prefetcher:
+    """``it`` may be one iterable or a list of iid iterables (one producer
+    thread each, unordered interleave) — see ``Prefetcher``."""
     return Prefetcher(it, size=size, put_fn=put_fn)
 
 
