@@ -198,14 +198,23 @@ def bench_pinsage(B=32):
 
     rng_key = jax.random.PRNGKey(0)
     step = tr._train_step
-    state, m = step(state, tr.put_batch(example), rng_key)
+    dev_batch = tr.put_batch(example)
+    state, m = step(state, dev_batch, rng_key)
     float(m["loss"])
-    # at large batch the ~25 us/example host sampling outweighs the device
-    # step — fan out to 4 iid sampler threads (C++ sampler releases the GIL)
+    if B > 64:  # device-only step on a resident batch, to split supply/step
+        t0 = time.perf_counter()
+        for _ in range(30):
+            state, m = step(state, dev_batch, rng_key)
+        float(m["loss"])
+        report(f"pinsage_ml1m_b{B}_devicestep", (time.perf_counter() - t0) / 30, B)
+    # at large batch the host sampling (~7 us/example after the flat-count
+    # C++ rewrite) rivals the device step — fan out to iid sampler threads
+    # (C++ releases the GIL; this host has only 2 cores, so 3 threads is
+    # already oversubscribed together with the jax runtime)
     src = it if B <= 64 else [
-        pinsage_train_batches(g, B, seed=s) for s in range(1, 7)
+        pinsage_train_batches(g, B, seed=s) for s in range(1, 4)
     ]
-    pf = prefetch_to_device(src, size=6, put_fn=tr.put_batch)
+    pf = prefetch_to_device(src, size=4, put_fn=tr.put_batch)
     try:
         state, m = step(state, next(pf), rng_key)
         float(m["loss"])

@@ -8,8 +8,17 @@ Fix under test: TrainConfig.lr_scales multiplies the three input tables'
 post-Adam updates by 3 (gradient scaling alone is a no-op under Adam —
 tests/test_lr_scales.py). Reference semantics stay the default (scale 1).
 
-Run: python benchmarks/exp_eges_convergence.py [total_steps] [chunk]
-Prints an AUC-vs-steps curve per variant and steps-to-0.98.
+Run: python benchmarks/exp_eges_convergence.py [total_steps] [chunk] [set]
+``set``: ``up`` (default — the lr>1 sweep) or ``down``. Prints an
+AUC-vs-steps curve per variant and steps-to-0.98.
+
+MEASURED (16k steps, v5e, 2026-08-20): the r1-VERDICT hypothesis
+(up-scale the averaged tables) is REFUTED — GES is not slow to start
+(0.953 AUC at 2k steps vs BGE 0.972); it COLLAPSES mid-training (0.72 at
+4k) and re-converges. Scaling updates up deepens the collapse
+(lr1.5: 0.59 at 4k, no 0.98 by 16k; lr2: worse). The ``down`` set tests
+the opposite: damping the *shared* cat/brand tables, whose early aligned
+gradients are the suspected destabilizer.
 """
 import functools
 import os
@@ -77,15 +86,27 @@ def main():
     # the sweep brackets the stable region instead of betting on 3.
     def ges_(): return GES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64)
     def eges_(): return EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64)
-    variants = [
-        ("bge", DeepWalk(vocab_size=V, embed_dim=64), False, None),
-        ("ges", ges_(), True, None),
-        ("ges+lr1.5", ges_(), True, side_scales(1.5)),
-        ("ges+lr2", ges_(), True, side_scales(2.0)),
-        ("ges+lr3", ges_(), True, side_scales(3.0)),
-        ("eges", eges_(), True, None),
-        ("eges+lr2", eges_(), True, side_scales(2.0)),
-    ]
+    def shared_scales(s: float) -> dict:
+        return {"cat_embedding": s, "brand_embedding": s}
+
+    which = sys.argv[3] if len(sys.argv) > 3 else "up"
+    if which == "up":
+        variants = [
+            ("bge", DeepWalk(vocab_size=V, embed_dim=64), False, None),
+            ("ges", ges_(), True, None),
+            ("ges+lr1.5", ges_(), True, side_scales(1.5)),
+            ("ges+lr2", ges_(), True, side_scales(2.0)),
+            ("ges+lr3", ges_(), True, side_scales(3.0)),
+            ("eges", eges_(), True, None),
+            ("eges+lr2", eges_(), True, side_scales(2.0)),
+        ]
+    else:
+        variants = [
+            ("ges+sh0.5", ges_(), True, shared_scales(0.5)),
+            ("ges+sh0.25", ges_(), True, shared_scales(0.25)),
+            ("ges+sh0.1", ges_(), True, shared_scales(0.1)),
+            ("eges+sh0.25", eges_(), True, shared_scales(0.25)),
+        ]
     for name, model, use_side, scales in variants:
         loss_fn, eval_fn = make_skipgram_task(model)
         it = skipgram_batches(g, batch_size=2048, walks_per_round=256,

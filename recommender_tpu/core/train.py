@@ -71,8 +71,9 @@ class TrainConfig:
     # graph XLA flips big narrow embedding tables to a column-major layout
     # (tile-dense for Adam) which makes the row gather 4× slower and inserts
     # layout-flip copies — 14.3 → 8.9 ms/step for DLRM b8192 on v5e. The
-    # second dispatch costs ~2.5 ms through the axon relay, so splitting
-    # only pays when such a table exists AND the step scatters enough ids.
+    # second dispatch costs ~1 ms for a train-state-sized arg pytree
+    # (benchmarks/exp_dispatch_cost.py), so splitting only pays when such a
+    # table exists AND the step scatters enough ids.
     # None = auto: big narrow table in the param tree (2-D leaf, ≥8M
     # elements, ≤32 columns) and ≥_SPLIT_MIN_IDS integer elements in the
     # batch — decided per batch structure (a warm-up minibatch doesn't
