@@ -47,9 +47,10 @@ def _local_gather(shard: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray):
     (the exact cliff ``ops.embedding_kernels`` exists to avoid, VERDICT r1
     Weak #2). This VJP routes the cotangent through ``padded_scatter_add``
     (64-lane zero-pad, scatter wide, slice), with invalid positions zeroed
-    so clamped indices add nothing. Volume-gating is unnecessary here: the
-    per-shard scatter only runs on the model-parallel path, whose id volume
-    is the full batch stream (≥ the single-chip gate) by construction.
+    so clamped indices add nothing. Callers go through ``_masked_gather``,
+    which applies this VJP only when the shard has ≥
+    ``PADDED_BWD_MIN_SHARD_ROWS`` rows — below that XLA's native scatter is
+    measured FASTER than the padded path (exp_shard_backward.py).
     """
     rows = shard.shape[0]
     out = jnp.take(shard, jnp.clip(idx, 0, rows - 1), axis=0)
@@ -73,13 +74,32 @@ def _local_gather_bwd(res, cot):
 _local_gather.defvjp(_local_gather_fwd, _local_gather_bwd)
 
 
+# Destination-size gate for the padded scatter-add backward, measured
+# single-chip at the real per-shard shapes (benchmarks/exp_shard_backward.py,
+# 213k-id cotangent into V/m x 16): XLA's native narrow scatter costs
+# ~23 ms at 1M and 500k destination rows (the cliff the padded VJP avoids:
+# 6.1/5.2 ms) but drops to 3.8-4.3 ms at 250k/125k rows — BELOW the padded
+# path (4.6-4.9). So shards smaller than this threshold keep plain-AD
+# backward; larger shards route through padded_scatter_add.
+PADDED_BWD_MIN_SHARD_ROWS = 300_000
+
+
+def _masked_gather(shard: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray):
+    """Shape-gated masked gather: custom padded-scatter VJP only where the
+    per-shard destination is large enough for XLA's narrow scatter cliff."""
+    if shard.shape[0] >= PADDED_BWD_MIN_SHARD_ROWS:
+        return _local_gather(shard, idx, valid)
+    out = jnp.take(shard, jnp.clip(idx, 0, shard.shape[0] - 1), axis=0)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
 def _local_masked_lookup(shard: jnp.ndarray, ids: jnp.ndarray, axis: str):
     """Inside shard_map: gather the rows this shard owns, zero the rest, psum."""
     rows = shard.shape[0]
     lo = jax.lax.axis_index(axis) * rows
     local_idx = (ids - lo).reshape(-1)
     valid = (local_idx >= 0) & (local_idx < rows)
-    contrib = _local_gather(shard, local_idx, valid)
+    contrib = _masked_gather(shard, local_idx, valid)
     contrib = contrib.reshape(*ids.shape, shard.shape[1])
     return jax.lax.psum(contrib, axis)
 
@@ -133,9 +153,9 @@ def _a2a_local(shard, ids, axis: str, capacity: int, count_axes: tuple = ()):
     my = jax.lax.axis_index(axis)
     local_idx = recv_ids - my * rows
     valid = (local_idx >= 0) & (local_idx < rows)
-    # _local_gather: fast padded-scatter backward for the shard-local
-    # cotangent (AD of a plain take would hit the narrow-scatter cliff)
-    served = _local_gather(shard, local_idx.reshape(-1), valid.reshape(-1))
+    # shape-gated gather: padded-scatter backward only where the per-shard
+    # destination sits on XLA's narrow-scatter cliff (see PADDED_BWD_MIN_SHARD_ROWS)
+    served = _masked_gather(shard, local_idx.reshape(-1), valid.reshape(-1))
     served = served.reshape(m, capacity, d)
     # send results back
     recv_vecs = jax.lax.all_to_all(served, axis, 0, 0, tiled=False)  # [m, C, D]
