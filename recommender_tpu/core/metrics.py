@@ -62,14 +62,8 @@ def auc_update(
     return AUCState(pos, neg)
 
 
-def auc_from_state(state: AUCState) -> jnp.ndarray:
-    """Closed-form ROC-AUC from score histograms.
-
-    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed exactly on the
-    binned distribution (equivalent to trapezoidal ROC integration over one
-    threshold per bin edge).
-    """
-    pos, neg = state.pos, state.neg
+@jax.jit
+def _auc_from_hists(pos: jnp.ndarray, neg: jnp.ndarray) -> jnp.ndarray:
     total_pos = jnp.sum(pos)
     total_neg = jnp.sum(neg)
     # neg mass strictly below each bin
@@ -78,6 +72,19 @@ def auc_from_state(state: AUCState) -> jnp.ndarray:
     ties = jnp.sum(pos * neg)
     denom = jnp.maximum(total_pos * total_neg, 1.0)
     return (wins + 0.5 * ties) / denom
+
+
+def auc_from_state(state: AUCState) -> jnp.ndarray:
+    """Closed-form ROC-AUC from score histograms.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed exactly on the
+    binned distribution (equivalent to trapezoidal ROC integration over one
+    threshold per bin edge). The reduction is jitted rather than eager:
+    eager host-side ops have crashed flakily (SIGABRT in the XLA CPU ufunc
+    path on the 8-virtual-device mesh) and can hang outright on the axon
+    platform — jitted compute is the rule everywhere (CLAUDE.md).
+    """
+    return _auc_from_hists(state.pos, state.neg)
 
 
 class MeanState(NamedTuple):
