@@ -163,15 +163,26 @@ def run_eges(steps=16000):
         for nm, arr in side.items():
             triples_side[f"{role}_{nm}"] = arr[triples[role]]
 
-    for name, model, use_side in (
-        ("bge", DeepWalk(vocab_size=V, embed_dim=64), False),
-        ("ges", GES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True),
-        ("eges", EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True),
-    ):
+    # Reference-semantics rows by default; EGES_DAMPED=1 adds the
+    # --shared_lr_scale 0.5 rows (converge in ~1/7 the steps to a better
+    # stable floor — benchmarks/RESULTS.md "GES/EGES convergence tax").
+    damped = {"cat_embedding": 0.5, "brand_embedding": 0.5}
+    variants = [
+        ("bge", DeepWalk(vocab_size=V, embed_dim=64), False, None),
+        ("ges", GES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True, None),
+        ("eges", EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True, None),
+    ]
+    if os.environ.get("EGES_DAMPED"):
+        variants += [
+            ("ges_damped", GES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True, damped),
+            ("eges_damped", EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True, damped),
+        ]
+    for name, model, use_side, scales in variants:
         loss_fn, eval_fn = make_skipgram_task(model)
         it = skipgram_batches(g, batch_size=2048, walks_per_round=256,
                               side_info=side if use_side else None, seed=0)
-        tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9),
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9,
+                                          lr_scales=scales),
                      mesh=mesh1(), eval_fn=eval_fn)
         state = tr.init_state(lambda: init_model(model, next(it)))
         state, _ = tr.fit(state, it, steps=steps)
