@@ -211,17 +211,23 @@ def bench_pinsage(B=32):
     # C++ rewrite) rivals the device step — fan out to iid sampler threads
     # (C++ releases the GIL; this host has only 2 cores, so 3 threads is
     # already oversubscribed together with the jax runtime)
-    src = it if B <= 64 else [
-        pinsage_train_batches(g, B, seed=s) for s in range(1, 4)
-    ]
-    pf = prefetch_to_device(src, size=4, put_fn=tr.put_batch)
+    # put_fn stays HOST-side (sampling only); device_put runs on this
+    # consumer thread, matching Trainer.fit — device APIs are not
+    # thread-safe against a concurrently executing jit.
+    if B <= 64:
+        pf = prefetch_to_device(it, size=4)
+    else:
+        pf = prefetch_to_device(
+            workers=[pinsage_train_batches(g, B, seed=s) for s in range(1, 4)],
+            size=4,
+        )
     try:
-        state, m = step(state, next(pf), rng_key)
+        state, m = step(state, tr.put_batch(next(pf)), rng_key)
         float(m["loss"])
         t0 = time.perf_counter()
         n_steps = 30
         for _ in range(n_steps):
-            state, m = step(state, next(pf), rng_key)
+            state, m = step(state, tr.put_batch(next(pf)), rng_key)
         float(m["loss"])
         dt = (time.perf_counter() - t0) / n_steps
     finally:

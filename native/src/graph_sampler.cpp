@@ -127,8 +127,10 @@ void pinsage_importance_neighbors(
   // hash-map clear/insert/alloc the dominant cost per item (~2.3 us/item
   // measured) — linear scan over <=budget slots is ~10x cheaper and, with
   // the same rng draw order and the same (count desc, id asc) tie-break,
-  // bit-identical to the map version. Falls back to a heap vector only for
-  // unusually large walk budgets.
+  // bit-identical to the map version. NOTE: the count lookup is a linear
+  // scan over the distinct-visit slots, so per-item cost grows
+  // O(budget^2) if num_walks*walk_length is raised far beyond the
+  // reference 4x2 default — at budget ~1000+ a hash map wins again.
   const int64_t budget = num_walks * walk_length;
   std::vector<int32_t> cnt_ids(static_cast<size_t>(budget));
   std::vector<int32_t> cnt_vals(static_cast<size_t>(budget));

@@ -67,13 +67,30 @@ class Prefetcher:
 
     _END = object()
 
-    def __init__(self, it: Iterable, size: int = 2, put_fn: Callable = None):
-        # a list/tuple of iterables fans out to one producer thread each
+    def __init__(
+        self,
+        it: Iterable = None,
+        size: int = 2,
+        put_fn: Callable = None,
+        workers: list | None = None,
+    ):
+        # ``workers=[it0, it1, ...]`` fans out to one producer thread each
         # (unordered interleave into the shared queue) — for iid sampler
         # streams whose per-batch host cost exceeds the device step, e.g.
         # PinSage block sampling (C++ via ctypes releases the GIL, so
-        # threads genuinely parallelize the sampling).
-        its = list(it) if isinstance(it, (list, tuple)) else [it]
+        # threads genuinely parallelize the sampling). Fan-out is EXPLICIT:
+        # a plain list passed as ``it`` is treated as one iterable of items
+        # (a list of dict batches prefetches the batches, not their keys).
+        # ``put_fn`` runs in the producer threads — host-side work only
+        # (batch assembly/encoding); device_put belongs on the consumer
+        # thread (device APIs are not thread-safe against a concurrently
+        # executing jit — see Trainer.fit).
+        if workers is not None:
+            if it is not None:
+                raise ValueError("pass either `it` or `workers=`, not both")
+            its = list(workers)
+        else:
+            its = [it]
         self._q: queue.Queue = queue.Queue(maxsize=max(size, len(its)))
         self._stop = threading.Event()
         self._put_fn = put_fn
@@ -142,13 +159,20 @@ class Prefetcher:
             pass
 
     def __del__(self):
-        self._stop.set()
+        stop = getattr(self, "_stop", None)  # __init__ may raise pre-assignment
+        if stop is not None:
+            stop.set()
 
 
-def prefetch_to_device(it: Iterable, size: int = 2, put_fn: Callable = None) -> Prefetcher:
-    """``it`` may be one iterable or a list of iid iterables (one producer
-    thread each, unordered interleave) — see ``Prefetcher``."""
-    return Prefetcher(it, size=size, put_fn=put_fn)
+def prefetch_to_device(
+    it: Iterable = None,
+    size: int = 2,
+    put_fn: Callable = None,
+    workers: list | None = None,
+) -> Prefetcher:
+    """One background producer for ``it``, or one per iterable in
+    ``workers=[...]`` (unordered interleave) — see ``Prefetcher``."""
+    return Prefetcher(it, size=size, put_fn=put_fn, workers=workers)
 
 
 def shard_for_host(arrays: dict, host_id: int, num_hosts: int) -> dict:
