@@ -92,29 +92,57 @@ class TrainConfig:
     # Math matches accum_steps=1 up to per-microbatch dropout rngs and
     # batch stats (see compute_grads).
     accum_steps: int = 1
-    # Per-parameter update scaling: {path-substring: multiplier} applied
+    # Per-parameter update scaling: {path-pattern: multiplier} applied
     # AFTER the base optimizer (Adam normalizes away plain gradient scaling,
     # so this is the only way to give a subtree a different effective LR).
-    # Motivation: GES/EGES combine hidden = mean(id, cat, brand) embeddings,
-    # so each table contributes 1/3 of the hidden movement per Adam step and
-    # the models need ~4x BGE's steps to reach their AUC floor
-    # (benchmarks/RESULTS.md). Scaling those tables' updates ~3x reclaims it
-    # while keeping reference semantics (/root/reference/eges/model.py:58-102)
-    # at scale 1. A path matches if any key substring appears in its
-    # '/'-joined parameter path.
+    # Motivation (measured, benchmarks/exp_eges_convergence.py + RESULTS.md
+    # "GES/EGES convergence tax"): GES/EGES share one cat/brand table across
+    # every item in the batch, so those tables receive ALIGNED updates every
+    # step and OVER-move relative to the per-item id table — at reference
+    # semantics the models collapse mid-training (AUC 0.95 -> 0.72) and
+    # re-converge ~4x slower than BGE. DAMPING the shared tables' updates
+    # (scale 0.1-0.5, `--shared_lr_scale 0.5`) removes the collapse and
+    # converges in ~1/7 the steps to a better stable floor; UP-scaling
+    # (the old 1/3-gradient-split theory) is strictly worse at every scale
+    # tried and was refuted by the same experiment. A pattern is one or more
+    # '/'-separated path components; it matches a parameter whose
+    # '/'-joined path contains that exact component run (substring matches
+    # across component boundaries do NOT count: 'cat_embedding' does not
+    # match 'concat_embedding').
     lr_scales: Optional[dict] = None
+    # Stochastic rounding for low-precision (bf16-stored) params. None =
+    # AUTO: enabled iff the param tree has a low-precision float leaf —
+    # resolved at init_state. When on (and optimizer='adam') the engine
+    # swaps in core.optim.adam_sr (f32 moment math, stochastic-rounded
+    # bf16 moment storage) and applies updates via apply_updates_sr (f32
+    # add + stochastic-rounded param write). Without it, sub-ulp Adam
+    # updates round away on a bf16 table and early training slows
+    # (AUC 0.736 -> 0.700 @300 steps); with it the bf16 table's 17% step
+    # win is quality-neutral (benchmarks/exp_bf16_sr.py, RESULTS.md).
+    stochastic_round: Optional[bool] = None
+    # Storage dtype for Adam moments under adam_sr: None = the param's own
+    # dtype (bf16 table -> bf16 moments, max HBM win); 'float32' = full-
+    # precision moments (2x optimizer-state traffic, for A/B isolation).
+    moment_dtype: Optional[str] = None
 
 
 def _scale_updates_by_path(scales: dict) -> optax.GradientTransformation:
-    """Stateless transform multiplying updates whose param path matches."""
+    """Stateless transform multiplying updates whose param path matches.
+
+    Matching is by whole '/'-separated path components (a key like
+    'cat_embedding' must equal a component — it does NOT match
+    'concat_embedding'); multi-component keys ('id_embedding/table') must
+    appear as a consecutive component run."""
 
     def path_mult(path) -> float:
-        joined = "/".join(
-            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-        )
+        segs = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
         m = 1.0
-        for sub, s in scales.items():
-            if sub in joined:
+        for pat, s in scales.items():
+            want = [p for p in str(pat).split("/") if p]
+            n = len(want)
+            if n and any(
+                segs[i : i + n] == want for i in range(len(segs) - n + 1)
+            ):
                 m *= float(s)
         return m
 
@@ -128,10 +156,17 @@ def _scale_updates_by_path(scales: dict) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, stochastic: bool = False
+) -> optax.GradientTransformation:
     lr = cfg.learning_rate
     if cfg.optimizer == "adam":
-        base = optax.adam(lr)
+        if stochastic:
+            from recommender_tpu.core.optim import adam_sr
+
+            base = adam_sr(lr, seed=cfg.seed, moment_dtype=cfg.moment_dtype)
+        else:
+            base = optax.adam(lr)
     elif cfg.optimizer == "adagrad":
         base = optax.adagrad(lr)
     elif cfg.optimizer == "sgd":
@@ -171,6 +206,14 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.optimizer = make_optimizer(cfg)
+        # stochastic-round apply: resolved in init_state (needs the param
+        # dtypes); False until then so manually-built states keep the plain
+        # optax.apply_updates path. The jitted steps trace on first call —
+        # after init_state — so they see the resolved value.
+        self._sr_apply = bool(cfg.stochastic_round)
+        if self._sr_apply:
+            self.optimizer = make_optimizer(cfg, stochastic=True)
+        self._sr_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0x5EED)
         self._param_shardings = param_shardings
         self._ckpt_mgr = None
         if cfg.checkpoint_dir:
@@ -179,7 +222,6 @@ class Trainer:
 
     # ------------------------------------------------------------------ build
     def _build(self):
-        opt = self.optimizer
         loss_fn = self.loss_fn
         mesh = self.mesh
         batch_spec = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
@@ -254,8 +296,10 @@ class Trainer:
         # row-major layouts for big narrow embedding tables (1.6× DLRM).
         def fused_step(state: TrainState, batch, rng):
             loss, aux, new_ms, grads = compute_grads(state, batch, rng)
-            updates, new_opt = opt.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = self._apply(state, updates)
             new_state = TrainState(
                 step=state.step + 1,
                 params=new_params,
@@ -273,8 +317,10 @@ class Trainer:
             return grads, new_ms, metrics
 
         def apply_step(state: TrainState, grads, new_ms):
-            updates, new_opt = opt.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = self._apply(state, updates)
             return TrainState(
                 step=state.step + 1,
                 params=new_params,
@@ -349,10 +395,35 @@ class Trainer:
         self._batch_sharding = batch_spec
         self._rep = rep
 
+    def _apply(self, state: TrainState, updates):
+        """Param write — traced inside the step jits. Plain optax add, or
+        (for low-precision param trees) an f32 add + stochastic-rounded
+        write keyed by the step counter (deterministic, resume-safe)."""
+        if self._sr_apply:
+            from recommender_tpu.core.optim import apply_updates_sr
+
+            key = jax.random.fold_in(self._sr_key, state.step)
+            return apply_updates_sr(state.params, updates, key)
+        return optax.apply_updates(state.params, updates)
+
     # ------------------------------------------------------------------- init
     def init_state(self, init_params_fn: Callable[[], tuple]) -> TrainState:
-        """``init_params_fn() -> (params, model_state)`` (host or jit)."""
+        """``init_params_fn() -> (params, model_state)`` (host or jit).
+
+        Also resolves ``cfg.stochastic_round`` auto mode: a low-precision
+        float leaf in the params swaps the optimizer for ``adam_sr`` and
+        turns on the stochastic-rounded param write BEFORE the optimizer
+        state is created / the steps first trace."""
         params, model_state = init_params_fn()
+        if self.cfg.stochastic_round is None:
+            from recommender_tpu.core.optim import has_low_precision_leaf
+
+            sr = has_low_precision_leaf(params)
+        else:
+            sr = bool(self.cfg.stochastic_round)
+        if sr != self._sr_apply:
+            self._sr_apply = sr
+            self.optimizer = make_optimizer(self.cfg, stochastic=sr)
         opt_state = self.optimizer.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),

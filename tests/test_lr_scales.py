@@ -2,7 +2,7 @@
 
 Adam is invariant to uniform *gradient* scaling, so the transform must
 multiply the post-optimizer update. These tests pin that behavior and the
-path-substring matching (including through flax Partitioned boxes).
+whole-component path matching (including through flax Partitioned boxes).
 """
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,34 @@ def test_gradient_scaling_alone_is_a_noop_under_adam():
     u1 = _one_step(TrainConfig(), params, g1)
     u3 = _one_step(TrainConfig(), params, g3)
     np.testing.assert_allclose(u1["t"], u3["t"], rtol=1e-5)
+
+
+def test_component_match_not_substring():
+    # 'cat_embedding' must NOT match 'concat_embedding' (whole-component
+    # matching); multi-component keys match consecutive component runs.
+    params = {
+        "cat_embedding": {"table": jnp.ones((4, 2))},
+        "concat_embedding": {"table": jnp.ones((4, 2))},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 1.0), params)
+    cfg = TrainConfig(optimizer="sgd", learning_rate=1.0,
+                      lr_scales={"cat_embedding": 2.0})
+    base = _one_step(TrainConfig(optimizer="sgd", learning_rate=1.0), params, grads)
+    scaled = _one_step(cfg, params, grads)
+    np.testing.assert_allclose(
+        scaled["cat_embedding"]["table"], 2.0 * base["cat_embedding"]["table"]
+    )
+    np.testing.assert_allclose(
+        scaled["concat_embedding"]["table"], base["concat_embedding"]["table"]
+    )
+    multi = _one_step(
+        TrainConfig(optimizer="sgd", learning_rate=1.0,
+                    lr_scales={"cat_embedding/table": 3.0}),
+        params, grads,
+    )
+    np.testing.assert_allclose(
+        multi["cat_embedding"]["table"], 3.0 * base["cat_embedding"]["table"]
+    )
 
 
 def test_matches_through_partitioned_boxes():
