@@ -35,10 +35,17 @@ def main(argv=None):
     p.add_argument("--decay_steps", type=int, default=40000)
     p.add_argument("--early_stop_patience", type=int, default=0,
                    help="stop after N evals without val-AUC improvement")
-    p.add_argument("--lookup_mode", choices=["gspmd", "a2a"], default="gspmd",
-                   help="sharded-table exchange (a2a needs --mesh_model > 1)")
-    p.add_argument("--a2a_capacity_factor", type=float, default=2.0,
-                   help="all-to-all bucket size vs fair share; = mesh_model is lossless")
+    p.add_argument("--lookup_mode", choices=["auto", "gspmd", "a2a"], default="auto",
+                   help="sharded-table exchange (a2a needs --mesh_model > 1); "
+                        "auto = planner-chosen by comm volume "
+                        "(embedding.planner.plan_tables)")
+    p.add_argument("--a2a_capacity_factor", type=float, default=0.0,
+                   help="all-to-all bucket size vs fair share (= mesh_model is "
+                        "lossless); 0 = measure the lossless factor on a real "
+                        "batch (planner.capacity_factor_from_ids)")
+    p.add_argument("--replicate_below_mb", type=float, default=32.0,
+                   help="planner threshold: tables under this many MB stay "
+                        "replicated (auto lookup mode only)")
     p.add_argument("--dedup_lookup", choices=["auto", "on", "off"], default="auto",
                    help="host-precomputed id-dedup plans for the embedding "
                         "backward (data/dedup.py). MEASURED e2e LOSS on v5e "
@@ -57,21 +64,6 @@ def main(argv=None):
         )
 
     mesh = build_mesh(args)
-    partition = "model" if args.mesh_model > 1 else None
-    lookup_kw = dict(
-        lookup_mode=args.lookup_mode, mesh=mesh if args.lookup_mode == "a2a" else None,
-        capacity_factor=args.a2a_capacity_factor,
-        embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
-    )
-    if args.model_type == "DLRM":
-        # the bottom MLP's output is the 27th embedding (ctr/model.py:51-52)
-        # so its final width must track --embedding_size
-        model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
-                     bottom_units=(512, 256, 64, args.embedding_size),
-                     partition=partition, **lookup_kw)
-    else:
-        model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
-                       partition=partition, **lookup_kw)
 
     if args.synthetic or not args.data_dir:
         gen = SyntheticCTR(vocab_size=args.vocab_size, seed=args.seed)
@@ -90,8 +82,64 @@ def main(argv=None):
             if test_arrays is not None else None
         )
 
-    loss_fn, eval_fn = make_ctr_task(model)
     example = next(train_iter)
+
+    # ---- planner-driven table layout + exchange (closes the planner loop:
+    # in 'auto' mode plan_tables decides partition AND lookup, and
+    # capacity_factor_from_ids measures the lossless a2a bucket on a real
+    # batch. Explicit --lookup_mode keeps the hand-set layout ('model' iff
+    # --mesh_model > 1) so tiny-table test configs still exercise sharding.
+    partition = "model" if args.mesh_model > 1 else None
+    lookup_mode, cap = args.lookup_mode, args.a2a_capacity_factor
+    if args.mesh_model > 1 and lookup_mode == "auto":
+        from recommender_tpu.embedding.planner import (
+            TableStats,
+            capacity_factor_from_ids,
+            plan_summary,
+            plan_tables,
+        )
+
+        n_feat = example["cat_features"].shape[-1]
+        [plan] = plan_tables(
+            [TableStats("embedding", args.vocab_size, args.embedding_size,
+                        lookups_per_example=n_feat)],
+            num_model_shards=args.mesh_model,
+            batch_per_device=args.train_batch_size // mesh.shape["data"],
+            replicate_below_bytes=int(args.replicate_below_mb * (1 << 20)),
+        )
+        partition = plan.partition
+        lookup_mode = "a2a" if plan.lookup == "all_to_all" else "gspmd"
+        if lookup_mode == "a2a" and cap <= 0:
+            cap = capacity_factor_from_ids(
+                example["cat_features"], args.mesh_model, args.vocab_size
+            )
+        log({"shard_plan": plan_summary([plan]),
+             "lookup_mode": lookup_mode, "capacity_factor": round(cap, 3)})
+    else:
+        if lookup_mode == "auto":
+            lookup_mode = "gspmd"
+        if lookup_mode == "a2a" and cap <= 0:
+            from recommender_tpu.embedding.planner import capacity_factor_from_ids
+
+            cap = capacity_factor_from_ids(
+                example["cat_features"], args.mesh_model, args.vocab_size
+            )
+    lookup_kw = dict(
+        lookup_mode=lookup_mode, mesh=mesh if lookup_mode == "a2a" else None,
+        capacity_factor=cap if cap > 0 else 2.0,
+        embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
+    )
+    if args.model_type == "DLRM":
+        # the bottom MLP's output is the 27th embedding (ctr/model.py:51-52)
+        # so its final width must track --embedding_size
+        model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                     bottom_units=(512, 256, 64, args.embedding_size),
+                     partition=partition, **lookup_kw)
+    else:
+        model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                       partition=partition, **lookup_kw)
+
+    loss_fn, eval_fn = make_ctr_task(model)
     # derive shardings from shapes only (no double param materialization)
     var_shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(args.seed), example)

@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--embedding_size", type=int, default=18)
     p.add_argument("--train_npz", type=str, default="", help="npz with features/click/purchase")
     p.add_argument("--test_npz", type=str, default="")
+    p.add_argument("--replicate_below_mb", type=float, default=32.0,
+                   help="planner threshold: tables under this many MB stay "
+                        "replicated (embedding.planner.plan_tables)")
     args = p.parse_args(argv)
     log = make_logger(args)
 
@@ -50,13 +53,20 @@ def main(argv=None):
         test = dict(np.load(args.test_npz))
         sizes = (train["features"].max(axis=0) + 1).tolist()
 
-    # per-table layout from the sharding planner: replicate tiny tables,
-    # row-shard large ones over the 'model' axis (frequency/skew-aware —
-    # embedding/planner.py). A single 'model' policy would shard all 18.
-    partition = None
+    # Per-table layout from the sharding planner: replicate tiny tables,
+    # row-shard large ones over the 'model' axis, and take the planner's
+    # exchange (psum vs all_to_all) + skew-aware a2a capacity per table
+    # (embedding/planner.py). `plan_kwargs` carries ALL of the plan into the
+    # model (partition / lookup_modes / capacity_factors / mesh), not just
+    # the layout; the a2a_overflow train metric verifies capacity live.
+    plan_kwargs = {"partition": None}
     if args.mesh_model > 1:
+        import dataclasses
+
         from recommender_tpu.embedding.planner import (
             TableStats,
+            capacity_factor_from_ids,
+            module_kwargs,
             plan_summary,
             plan_tables,
         )
@@ -71,9 +81,28 @@ def main(argv=None):
         plans = plan_tables(
             stats, num_model_shards=args.mesh_model,
             batch_per_device=args.train_batch_size // ndata,
+            replicate_below_bytes=int(args.replicate_below_mb * (1 << 20)),
         )
+        # refine each a2a bucket to be lossless on the REAL id stream (the
+        # frequency heuristic above is row-block mass; this measures the
+        # actual per-shard lookup skew on a sample, with headroom)
+        plans = [
+            dataclasses.replace(
+                pl,
+                capacity_factor=max(
+                    pl.capacity_factor,
+                    capacity_factor_from_ids(
+                        train["features"][:65536, j], args.mesh_model, int(sizes[j])
+                    ),
+                ),
+            )
+            if pl.lookup == "all_to_all"
+            else pl
+            for j, pl in enumerate(plans)
+        ]
         log({"shard_plan": plan_summary(plans)})
-        partition = tuple(pl.partition for pl in plans)
+        plan_kwargs = module_kwargs(plans, mesh)
+    partition = plan_kwargs["partition"]
 
     if args.model_type == "BASE":
         # two-model protocol (esmm/train.py:14-91)
@@ -85,7 +114,7 @@ def main(argv=None):
             arrays = dict(data)
             arrays["label"] = arrays[label]
             model = MultiTaskBase(vocab_sizes=sizes, embed_dim=args.embedding_size,
-                                  partition=partition)
+                                  **plan_kwargs)
             loss_fn, eval_fn = make_ctr_task(model)
             trainer = build_trainer(args, loss_fn, eval_fn, mesh)
             example = {k: v[: args.train_batch_size] for k, v in arrays.items()}
@@ -109,7 +138,7 @@ def main(argv=None):
 
     model_cls = ESMM if args.model_type == "ESMM" else MMOE
     model = model_cls(vocab_sizes=sizes, embed_dim=args.embedding_size,
-                      partition=partition)
+                      **plan_kwargs)
     loss_fn, eval_fn = make_multitask_task(model)
     pshard = None
     if partition is not None:

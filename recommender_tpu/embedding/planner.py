@@ -61,7 +61,15 @@ def plan_tables(
     plans = []
     for t in tables:
         size = t.vocab_size * t.dim * dtype_bytes
-        if size <= replicate_below_bytes or num_model_shards == 1:
+        # a row-sharded table needs vocab divisible by the shard count:
+        # device_put with a NamedSharding refuses uneven dimensions (and the
+        # a2a route needs equal shards anyway) — pad the vocab to a multiple
+        # of the mesh at table-build time if sharding such a table matters
+        if (
+            size <= replicate_below_bytes
+            or num_model_shards == 1
+            or t.vocab_size % num_model_shards
+        ):
             plans.append(
                 TablePlan(t.name, None, "local", _bytes=size)
             )
@@ -71,6 +79,12 @@ def plan_tables(
         psum_comm = batch_per_device * t.lookups_per_example * t.dim  # per device
         a2a_comm = 2 * n_lookups * t.dim // num_model_shards + n_lookups
         lookup = "all_to_all" if a2a_comm < psum_comm else "psum"
+        # the explicit a2a shard_map needs equal-size shards; GSPMD's
+        # masked-gather+psum pads uneven row counts internally, so a
+        # non-divisible vocab falls back to psum rather than failing at
+        # trace time (embedding/sharded.py::all_to_all_lookup contract)
+        if lookup == "all_to_all" and t.vocab_size % num_model_shards:
+            lookup = "psum"
         cap = 2.0
         if t.id_freq is not None and lookup == "all_to_all":
             # capacity must cover the hottest shard's share of lookups
@@ -89,6 +103,24 @@ def plan_tables(
             )
         )
     return plans
+
+
+def module_kwargs(plans: Sequence[TablePlan], mesh=None) -> dict:
+    """Render a plan list into model/``FeatureEmbedder`` kwargs — the
+    consumer side of the planner loop: ``partition`` (where each table
+    lives), ``lookup_modes`` (the planned exchange: 'all_to_all' → the
+    explicit a2a route, else the GSPMD masked-gather+psum), and the
+    skew-aware ``capacity_factors``. ``mesh`` is attached only when some
+    table actually takes the a2a route (it is a static module attribute)."""
+    lookups = tuple(
+        "a2a" if p.lookup == "all_to_all" else "gspmd" for p in plans
+    )
+    return dict(
+        partition=tuple(p.partition for p in plans),
+        lookup_modes=lookups,
+        capacity_factors=tuple(float(p.capacity_factor) for p in plans),
+        mesh=mesh if any(l == "a2a" for l in lookups) else None,
+    )
 
 
 def capacity_factor_from_ids(

@@ -51,34 +51,54 @@ class FeatureEmbedder(nn.Module):
     only when the per-table dispatch overhead dominates instead — many
     genuinely tiny vocabs at small batch.
 
-    ``partition`` may be a single policy for every table or a per-feature
-    tuple (e.g. from ``embedding.planner.plan_tables``: replicate the tiny
-    tables, row-shard the large ones). A per-feature tuple needs per-table
-    params, so it always disables stacking; a uniform policy (including
-    ``"model"`` — GSPMD row-shards the stacked table as a whole) may stack.
+    ``partition``, ``lookup_modes`` and ``capacity_factors`` may each be a
+    single policy for every table or a per-feature tuple — the rendered
+    output of ``embedding.planner.plan_tables`` via ``planner.module_kwargs``
+    (replicate the tiny tables; row-shard the large ones and give each its
+    planned exchange + skew-aware a2a bucket capacity). A per-feature tuple
+    needs per-table params, so it always disables stacking; a uniform
+    policy (including ``"model"`` — GSPMD row-shards the stacked table as a
+    whole) may stack. ``mesh`` is required by any ``"a2a"`` lookup
+    (``Embedding.lookup_mode``).
     """
 
     vocab_sizes: Sequence[int]
     embed_dim: int = 18
     partition: str | None | Sequence[str | None] = None
     stack: bool = False
+    lookup_modes: str | Sequence[str] = "gspmd"
+    capacity_factors: float | Sequence[float] = 2.0
+    mesh: object | None = None
+
+    def _per_feat(self, v):
+        n = len(self.vocab_sizes)
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,) * n
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
-        if not self.stack or isinstance(self.partition, (list, tuple)):
-            per_feat = (
-                tuple(self.partition)
-                if isinstance(self.partition, (list, tuple))
-                else (self.partition,) * len(self.vocab_sizes)
-            )
+        per_table_cfg = any(
+            isinstance(v, (list, tuple))
+            for v in (self.partition, self.lookup_modes, self.capacity_factors)
+        )
+        if not self.stack or per_table_cfg:
+            per_feat = self._per_feat(self.partition)
+            lookups = self._per_feat(self.lookup_modes)
+            caps = self._per_feat(self.capacity_factors)
             cols = []
             for j, v in enumerate(self.vocab_sizes):
                 emb = Embedding(
-                    v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j]
+                    v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j],
+                    lookup_mode=lookups[j], capacity_factor=float(caps[j]),
+                    mesh=self.mesh if lookups[j] == "a2a" else None,
                 )
                 cols.append(emb(features[:, j]))
             return jnp.concatenate(cols, axis=-1)
 
+        if self.lookup_modes != "gspmd":
+            raise ValueError(
+                "stacked tables support only the gspmd lookup; use per-table "
+                f"mode (stack=False) for lookup_modes={self.lookup_modes!r}"
+            )
         vocab_sizes = tuple(int(v) for v in self.vocab_sizes)
         total = sum(vocab_sizes)
         dim = self.embed_dim
@@ -134,11 +154,16 @@ class MultiTaskBase(nn.Module):
     mlp_units: Sequence[int] = (360, 200, 80, 2)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
     stack_tables: bool = False
+    lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
+    capacity_factors: float | Sequence[float] = 2.0
+    mesh: object | None = None
 
     @nn.compact
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
         x = FeatureEmbedder(
-            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
+            lookup_modes=self.lookup_modes,
+            capacity_factors=self.capacity_factors, mesh=self.mesh,
         )(batch["features"])
         out = MLP(self.mlp_units, final_activation=nn.softmax)(x, train=train)
         # reference uses a 2-unit softmax head; prob of class 1
@@ -151,10 +176,15 @@ class ESMM(nn.Module):
     mlp_units: Sequence[int] = (360, 200, 80, 1)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
     stack_tables: bool = False
+    lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
+    capacity_factors: float | Sequence[float] = 2.0
+    mesh: object | None = None
 
     def setup(self):
         self.embedder = FeatureEmbedder(
-            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
+            lookup_modes=self.lookup_modes,
+            capacity_factors=self.capacity_factors, mesh=self.mesh,
         )
         self.ctr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
         self.cvr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
@@ -175,10 +205,15 @@ class MMOE(nn.Module):
     tower_units: Sequence[int] = (40, 1)
     partition: str | None | Sequence[str | None] = None  # see FeatureEmbedder
     stack_tables: bool = False
+    lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
+    capacity_factors: float | Sequence[float] = 2.0
+    mesh: object | None = None
 
     def setup(self):
         self.embedder = FeatureEmbedder(
-            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables
+            self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
+            lookup_modes=self.lookup_modes,
+            capacity_factors=self.capacity_factors, mesh=self.mesh,
         )
         self.expert_bank = ExpertBank(self.num_experts, self.expert_units)
         self.gates = [
