@@ -53,6 +53,10 @@ class ItemFeatures:
 class FeatureProjector(nn.Module):
     features: ItemFeatures
     embed_dim: int = 8
+    # 'model' row-shards the ITEM id table (the only vocab that grows with
+    # the corpus) over the model mesh axis; the year/genre tables are tiny
+    # and stay replicated (the planner's replicate-below-threshold call).
+    partition: str | None = None
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -71,7 +75,9 @@ class FeatureProjector(nn.Module):
         genre_emb = jnp.matmul(multihot, genre_table) / jnp.maximum(
             jnp.sum(multihot, axis=-1, keepdims=True), 1.0
         )
-        id_emb = Embedding(f.num_items, self.embed_dim, name="id")(ids)
+        id_emb = Embedding(
+            f.num_items, self.embed_dim, name="id", partition=self.partition
+        )(ids)
         return jnp.concatenate([year_emb, genre_emb, id_emb], axis=-1)
 
 
@@ -98,9 +104,12 @@ class PinSage(nn.Module):
     conv_hidden: int = 64
     conv_out: int = 32
     num_layers: int = 2
+    partition: str | None = None  # see FeatureProjector.partition
 
     def setup(self):
-        self.projector = FeatureProjector(self.features, self.embed_dim)
+        self.projector = FeatureProjector(
+            self.features, self.embed_dim, partition=self.partition
+        )
         self.convs = [
             Convolve(self.conv_hidden, self.conv_out, name=f"conv_{i}")
             for i in range(self.num_layers)

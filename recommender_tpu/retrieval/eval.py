@@ -3,8 +3,14 @@
 Replaces ``/root/reference/pinsage/train/evaluation.py`` (numpy argpartition
 on host) and the Spark map-reduce serving path (``pinsage/inference/*``,
 which never even loads trained weights — ``inference.py:57-64``) with
-on-chip batched matmul + ``lax.top_k`` under jit; shard the corpus matmul
-over the data axis for multi-chip serving.
+on-chip batched matmul + ``lax.top_k`` under jit.
+
+Multi-chip serving: pass ``mesh=`` and both the corpus inference and the
+top-k scoring shard their BATCH dimension over the ``data`` axis (blocks /
+query rows split across chips, item matrix replicated; each chip scores
+its user rows against the full corpus — embarrassingly parallel, no
+collective in the hot loop). Tested on the 8-virtual-device mesh
+(tests/test_pinsage.py::test_sharded_corpus_eval_matches_single_device).
 
 * ``full_corpus_reprs``  — every item id through sampled blocks → reprs
   (``evaluation.py:6-24``).
@@ -20,17 +26,42 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _data_shard(x, mesh):
+    """Place ``x`` split on dim 0 over the mesh's ``data`` axis."""
+    nd = jnp.asarray(x).ndim
+    return jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+    )
 
 
 def full_corpus_reprs(
-    model, params, graph, rng: np.random.Generator, batch_size: int = 512, **sampler_kw
+    model, params, graph, rng: np.random.Generator, batch_size: int = 512,
+    mesh=None, **sampler_kw
 ) -> np.ndarray:
-    """Compute reprs for every item (PinSage: fresh sampled blocks per batch)."""
+    """Compute reprs for every item (PinSage: fresh sampled blocks per batch).
+
+    ``mesh``: shard each block batch over the ``data`` axis (every leaf's
+    leading dim is a multiple of the node count N, so a batch_size divisible
+    by the data-axis size shards evenly)."""
     from recommender_tpu.graph.bipartite import sample_block_batch
+
+    if mesh is not None and batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size {batch_size} must divide by the data axis "
+            f"({mesh.shape['data']}) for sharded corpus inference"
+        )
 
     @jax.jit
     def reprs(block):
         return model.apply({"params": params}, block, method=model.get_repr)
+
+    def put(block):
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in block.items()}
+        return {k: _data_shard(v, mesh) for k, v in block.items()}
 
     out = []
     n = graph.num_items
@@ -40,7 +71,7 @@ def full_corpus_reprs(
         if pad:
             ids = np.concatenate([ids, np.zeros(pad, np.int32)])
         block = sample_block_batch(graph, ids, rng, **sampler_kw).as_dict()
-        r = np.asarray(reprs({k: jnp.asarray(v) for k, v in block.items()}))
+        r = np.asarray(reprs(put(block)))
         out.append(r[: batch_size - pad])
     return np.concatenate(out, axis=0)
 
@@ -59,22 +90,42 @@ def recommend_topk(
     seen: "np.ndarray | object",
     k: int = 10,
     batch_size: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
     """[U] users' latest item ids → [U, k] recommended items.
 
     ``seen``: [U, V] bool (dense or scipy sparse) — items already interacted,
-    excluded from recommendations."""
+    excluded from recommendations. ``mesh``: shard the user rows of each
+    scoring batch over the ``data`` axis (items replicated); the tail batch
+    is padded up so it still shards evenly."""
     item_reprs = jnp.asarray(item_reprs)
+    if mesh is not None:
+        item_reprs = jax.device_put(item_reprs, NamedSharding(mesh, P()))
     out = []
     U = len(latest_items)
     for s in range(0, U, batch_size):
         users = slice(s, min(s + batch_size, U))
-        q = item_reprs[jnp.asarray(latest_items[users])]
+        latest = np.asarray(latest_items[users])
         seen_block = seen[users]
         if hasattr(seen_block, "toarray"):
             seen_block = seen_block.toarray()
-        idx = _topk_scores(q, item_reprs, jnp.asarray(seen_block, bool), k)
-        out.append(np.asarray(idx))
+        seen_block = np.asarray(seen_block, bool)
+        n_real = len(latest)
+        if mesh is not None:
+            ndata = mesh.shape["data"]
+            pad = (-n_real) % ndata
+            if pad:
+                latest = np.concatenate([latest, latest[:1].repeat(pad)])
+                seen_block = np.concatenate(
+                    [seen_block, seen_block[:1].repeat(pad, axis=0)]
+                )
+            q = _data_shard(item_reprs[jnp.asarray(latest)], mesh)
+            mask = _data_shard(seen_block, mesh)
+        else:
+            q = item_reprs[jnp.asarray(latest)]
+            mask = jnp.asarray(seen_block, bool)
+        idx = _topk_scores(q, item_reprs, mask, k)
+        out.append(np.asarray(idx)[:n_real])
     return np.concatenate(out, axis=0)
 
 

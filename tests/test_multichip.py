@@ -90,6 +90,45 @@ def test_eges_multichip(devices8):
     _run_one_step(model, batch, make_skipgram_task, devices8)
 
 
+def test_pinsage_multichip(devices8):
+    """Full jitted PinSage step on the (2,4) mesh with the item id table
+    row-sharded over 'model' (VERDICT r2 #4: PinSage was the only family
+    without multi-chip coverage)."""
+    from recommender_tpu.graph.bipartite import BipartiteGraph
+    from recommender_tpu.models.pinsage import ItemFeatures, PinSage
+    from recommender_tpu.models.pinsage_task import (
+        make_pinsage_task,
+        pinsage_train_batches,
+    )
+
+    rng = np.random.default_rng(0)
+    U, V = 48, 64  # V divisible by the 4 model shards
+    us = np.repeat(np.arange(U), 4)
+    its = rng.integers(0, V, len(us))
+    g = BipartiteGraph(us, its, U, V)
+    feats = ItemFeatures(
+        year=rng.integers(0, 5, V).astype(np.int32),
+        genre=(rng.random((V, 6)) < 0.3).astype(np.float32),
+    )
+    model = PinSage(features=feats, embed_dim=8, conv_hidden=16, conv_out=8,
+                    partition="model")
+    batch = next(pinsage_train_batches(g, 16, seed=0))
+
+    mesh = make_mesh(MeshSpec(2, 4))
+    loss_fn = make_pinsage_task(model)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = Trainer(loss_fn, TrainConfig(learning_rate=1e-3), mesh=mesh,
+                      param_shardings=pshard)
+    state = trainer.init_state(lambda: init_model(model, batch))
+    state, metrics = trainer._train_step(
+        state, trainer.put_batch(batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    emb = state.params["projector"]["id"]["embedding"]
+    leaf = emb.value if hasattr(emb, "value") else emb
+    assert leaf.sharding.spec[0] == "model"
+
+
 def test_dlrm_multichip_split_step(devices8):
     """The split grads|optimizer step AND the padded-scatter custom-VJP
     lookup (both gated on is_big_narrow_table — vocab 512k x 16 crosses the

@@ -166,3 +166,36 @@ def test_movielens_parsing_and_split():
     assert set(nbrs.tolist()) == {0, 2}
     gt = ground_truth_matrix(data.test_user_item, data.num_items)
     assert gt[0, 3] == 1 and gt.sum() == 1
+
+
+def test_sharded_corpus_eval_matches_single_device(devices8):
+    """retrieval.eval's mesh= path (corpus blocks / user rows sharded over
+    the data axis, items replicated) returns the SAME reprs and top-k as
+    the single-device path — the multi-chip serving contract the module
+    docstring advertises."""
+    g, feats, _ = _toy_graph()
+    model = PinSage(features=feats, embed_dim=8, conv_hidden=16, conv_out=8)
+    batch = next(pinsage_train_batches(g, 8, seed=0))
+    params, _ = init_model(model, batch)
+
+    reprs_1 = full_corpus_reprs(
+        model, params, g, np.random.default_rng(1), batch_size=16)
+    mesh = make_mesh(MeshSpec(8, 1))
+    reprs_8 = full_corpus_reprs(
+        model, params, g, np.random.default_rng(1), batch_size=16, mesh=mesh)
+    np.testing.assert_allclose(reprs_1, reprs_8, rtol=2e-5, atol=1e-6)
+
+    U = g.num_users
+    rng = np.random.default_rng(2)
+    latest = rng.integers(0, g.num_items, U)
+    seen = np.zeros((U, g.num_items), bool)
+    seen[rng.integers(0, U, 50), rng.integers(0, g.num_items, 50)] = True
+    # U=60 is NOT a multiple of 8: exercises the tail-padding path
+    recs_1 = recommend_topk(reprs_1, latest, seen, k=5, batch_size=32)
+    recs_8 = recommend_topk(reprs_1, latest, seen, k=5, batch_size=32, mesh=mesh)
+    np.testing.assert_array_equal(recs_1, recs_8)
+
+    import pytest
+    with pytest.raises(ValueError, match="must divide"):
+        full_corpus_reprs(model, params, g, np.random.default_rng(1),
+                          batch_size=12, mesh=mesh)
