@@ -44,14 +44,14 @@ def timeit(fn, *args, steps=30):
     return (time.perf_counter() - t0) / steps * 1e3
 
 
-def main():
+def main(vocab=V, shard_counts=(1, 2, 4, 8)):
     rng = np.random.default_rng(0)
-    for m in (1, 2, 4, 8):
-        rows = V // m
+    for m in shard_counts:
+        rows = vocab // m
         # Zipf ids over the full vocab, mapped into this shard's range the
         # way _local_gather sees them: ~N/m valid in-shard rows, the rest
         # zeroed cotangent at clamped index 0 (still scattered).
-        ids_full = (rng.zipf(1.2, size=N) % V).astype(np.int32)
+        ids_full = (rng.zipf(1.2, size=N) % vocab).astype(np.int32)
         owner_lo = 0
         local = ids_full - owner_lo
         valid = (local >= 0) & (local < rows)
@@ -80,4 +80,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--big" in sys.argv:
+        # VERDICT r2 weak #8: the claim that a 10M-row table stays in the
+        # narrow-scatter cliff regime through m=32 was extrapolated from
+        # V=1M; measure it (10M x 16 = 640 MB table, padded dest 2.56 GB
+        # transient — fits single-chip v5e HBM).
+        main(vocab=10_000_000, shard_counts=(1, 4, 16, 32))
+    else:
+        main()

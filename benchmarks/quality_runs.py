@@ -5,6 +5,11 @@ These are the framework's "does it actually learn, at scale, on the real
 chip" proof — the reference's dataset-specific AUC targets (BASELINE.md)
 need the real downloads; the synthetic ceilings here are known by
 construction and must be approached, not just beaten trivially.
+
+Final numbers are certified with the EXACT (sort-based) AUC
+(core.metrics.exact_auc / evaluate(exact=True) / link_prediction_auc):
+the 8192-bin streaming histogram's ≲2e-3 error is the same order as the
+model-to-model deltas these rows exist to rank (VERDICT r2 weak #3).
 """
 import json
 import os
@@ -53,7 +58,7 @@ def run_dlrm(steps=3000):
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
     t0 = time.perf_counter()
     state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
-    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False))
+    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False), exact=True)
     report("dlrm", steps=steps, wall_s=round(time.perf_counter() - t0, 1), **ev)
 
 
@@ -70,7 +75,7 @@ def run_deepfm(steps=3000):
                  mesh=mesh1(), eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
     state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
-    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False))
+    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False), exact=True)
     report("deepfm", steps=steps, **ev)
 
 
@@ -93,7 +98,7 @@ def run_dien(steps=3000):
                      mesh=mesh1(), eval_fn=eval_fn)
         state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
         state, _ = tr.fit(state, batch_iterator(train, 512, epochs=None), steps=steps)
-        ev = tr.evaluate(state, batch_iterator(test, 2048, shuffle=False))
+        ev = tr.evaluate(state, batch_iterator(test, 2048, shuffle=False), exact=True)
         report(name, steps=steps, **ev)
 
 
@@ -115,11 +120,11 @@ def run_esmm(steps=3000):
         clicks = click_only(test)
         cvr_auc = evaluate_head(
             tr, state, batch_iterator(clicks, 1024, shuffle=False),
-            make_head_eval(model, "cvr", "purchase"),
+            make_head_eval(model, "cvr", "purchase"), exact=True,
         )
         ctcvr_auc = evaluate_head(
             tr, state, batch_iterator(test, 4096, shuffle=False),
-            make_head_eval(model, "ctcvr", "purchase"),
+            make_head_eval(model, "ctcvr", "purchase"), exact=True,
         )
         report(name, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
 

@@ -106,20 +106,36 @@ def make_head_eval(model: nn.Module, head: str, label_key: str):
     return eval_fn
 
 
-def evaluate_head(trainer, state, batches, head_eval_fn):
-    """Run a one-off AUC eval with a custom (scores, labels) fn."""
+def evaluate_head(trainer, state, batches, head_eval_fn, exact: bool = False):
+    """Run a one-off AUC eval with a custom (scores, labels) fn.
+
+    ``exact=True`` gathers scores/labels for the sort-based exact AUC —
+    use for certified final numbers (histogram error ≲2e-3, same order as
+    the deltas being certified); the streaming histogram stays the cheap
+    in-loop default."""
     import jax as _jax
+    import numpy as np
 
     from recommender_tpu.core.metrics import AUCState, auc_from_state, auc_update
 
     @_jax.jit
     def step(params, model_state, batch, auc):
         scores, labels = head_eval_fn(params, model_state, batch)
-        return auc_update(auc, scores, labels)
+        return auc_update(auc, scores, labels), scores, labels
 
     auc = AUCState.init()
+    all_s, all_l = [], []
     for batch in batches:
-        auc = step(state.params, state.model_state, trainer.put_batch(batch), auc)
+        auc, scores, labels = step(
+            state.params, state.model_state, trainer.put_batch(batch), auc
+        )
+        if exact:
+            all_s.append(np.asarray(_jax.device_get(scores)).reshape(-1))
+            all_l.append(np.asarray(_jax.device_get(labels)).reshape(-1))
+    if exact:
+        from recommender_tpu.core.metrics import exact_auc
+
+        return float(exact_auc(np.concatenate(all_s), np.concatenate(all_l)))
     return float(auc_from_state(auc))
 
 
@@ -141,10 +157,18 @@ def make_skipgram_task(model: nn.Module):
     return loss_fn, eval_fn
 
 
-def link_prediction_auc(model: nn.Module, params, triples: dict, batch_size: int = 4096) -> float:
+def link_prediction_auc(
+    model: nn.Module, params, triples: dict, batch_size: int = 4096,
+    exact: bool = True,
+) -> float:
     """EGES link-prediction protocol (``eges/train.py:26-40``): score held-out
     edges and uniform negatives by sigmoid(hidden_q · hidden_x), AUC over
-    pos-vs-neg. Uses ``model.get_hidden`` on each role."""
+    pos-vs-neg. Uses ``model.get_hidden`` on each role.
+
+    ``exact=True`` (default) computes the sort-based exact AUC on host —
+    the 8192-bin histogram's ≲2e-3 error is the same order as the
+    BGE/GES/EGES deltas being certified (VERDICT r2 weak #3); pass
+    ``exact=False`` only for in-loop progress numbers."""
     import numpy as np
 
     from recommender_tpu.core.metrics import AUCState, auc_from_state, auc_update
@@ -166,13 +190,26 @@ def link_prediction_auc(model: nn.Module, params, triples: dict, batch_size: int
         return pos, neg
 
     auc = AUCState.init()
+    all_pos, all_neg = [], []
     total = len(triples["query"])
     for s in range(0, total, batch_size):
         batch = {k: jnp.asarray(v[s : s + batch_size]) for k, v in triples.items()}
         pos, neg = score(batch)
-        auc = auc_update(auc, pos, jnp.ones_like(pos))
-        auc = auc_update(auc, neg, jnp.zeros_like(neg))
-    return float(auc_from_state(auc))
+        if exact:
+            all_pos.append(np.asarray(jax.device_get(pos)))
+            all_neg.append(np.asarray(jax.device_get(neg)))
+        else:
+            auc = auc_update(auc, pos, jnp.ones_like(pos))
+            auc = auc_update(auc, neg, jnp.zeros_like(neg))
+    if not exact:
+        return float(auc_from_state(auc))
+    from recommender_tpu.core.metrics import exact_auc
+
+    pos = np.concatenate(all_pos)
+    neg = np.concatenate(all_neg)
+    scores = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones_like(pos), np.zeros_like(neg)])
+    return float(exact_auc(scores, labels))
 
 
 def make_aux_loss_task(model: nn.Module, aux_weight: float = 1.0):

@@ -27,12 +27,37 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def stochastic_round_to(x: jnp.ndarray, dtype, key: jax.Array) -> jnp.ndarray:
+def _hash_noise_u16(shape, key: jax.Array) -> jnp.ndarray:
+    """Cheap uniform 16-bit noise: murmur3 finalizer over (element index ⊕
+    key material). SR needs decorrelated-uniform bits, not crypto-grade
+    randomness; threefry over the full param+moment tree measured ~1 ms of
+    the DLRM b8192 step (benchmarks/exp_bf16_sr.py), the ~10-op finalizer
+    is noise-level. Deterministic per (key, element index)."""
+    n = int(np.prod(shape)) if shape else 1
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    x = jax.lax.iota(jnp.uint32, n) * jnp.uint32(0x9E3779B9) + kd[0]
+    x = x ^ kd[-1]
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x & jnp.uint32(0xFFFF)).reshape(shape)
+
+
+def stochastic_round_to(
+    x: jnp.ndarray, dtype, key: jax.Array, fast: bool = True
+) -> jnp.ndarray:
     """Round f32 ``x`` to ``dtype`` stochastically (unbiased); identity cast
     for f32/f64 targets. Only bfloat16 is supported as a low-precision
-    target (it is the truncation of f32 — f16 is not)."""
+    target (it is the truncation of f32 — f16 is not).
+
+    ``fast=True`` (default) draws the rounding bits from the murmur3-hash
+    generator above; ``fast=False`` uses threefry (``jax.random.bits``) —
+    kept for A/B-ing the generator quality."""
     dtype = jnp.dtype(dtype)
     if dtype != jnp.bfloat16:
         if dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
@@ -40,7 +65,10 @@ def stochastic_round_to(x: jnp.ndarray, dtype, key: jax.Array) -> jnp.ndarray:
         raise ValueError(f"stochastic_round_to: unsupported target {dtype}")
     x = x.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    if fast:
+        noise = _hash_noise_u16(x.shape, key)
+    else:
+        noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
     rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
     sr = jax.lax.bitcast_convert_type(rounded, jnp.float32)
     out = jnp.where(jnp.isfinite(x), sr, x)

@@ -19,16 +19,30 @@ from recommender_tpu.core.train import TrainConfig, Trainer
 from recommender_tpu.ops.rounding import is_low_precision, stochastic_round_to
 
 
-def test_sr_unbiased_sub_ulp():
+@pytest.mark.parametrize("fast", [True, False])
+def test_sr_unbiased_sub_ulp(fast):
     # 1.0 + delta with delta ~ ulp/4: E[sr(x)] must be x, not round(x).
+    # Covers both generators: the murmur3-hash fast path (production) and
+    # threefry (reference).
     ulp = 2.0 ** -7  # bf16 ulp at 1.0 (7 mantissa bits)
     x = jnp.full((4096,), 1.0 + ulp / 4, jnp.float32)
     key = jax.random.PRNGKey(0)
-    r = stochastic_round_to(x, jnp.bfloat16, key).astype(jnp.float32)
+    r = stochastic_round_to(x, jnp.bfloat16, key, fast=fast).astype(jnp.float32)
     vals = np.unique(np.asarray(r))
     assert set(float(v) for v in vals) <= {1.0, 1.0 + ulp}  # only the neighbors
     p_up = float(jnp.mean(r > 1.0))
     assert abs(p_up - 0.25) < 0.03  # 4096 draws, 3 sigma ~ 0.02
+
+
+def test_hash_noise_decorrelated_across_keys():
+    from recommender_tpu.ops.rounding import _hash_noise_u16
+
+    k0 = jax.random.fold_in(jax.random.PRNGKey(0), 1)
+    k1 = jax.random.fold_in(jax.random.PRNGKey(0), 2)
+    a = np.asarray(_hash_noise_u16((1 << 16,), k0), np.float64)
+    b = np.asarray(_hash_noise_u16((1 << 16,), k1), np.float64)
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.02
+    assert abs(a.mean() / 65535 - 0.5) < 0.01  # uniform over [0, 2^16)
 
 
 def test_sr_exact_values_unchanged():
