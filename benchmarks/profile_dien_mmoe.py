@@ -61,11 +61,12 @@ def profile_dien(B=1024, T=100):
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
     rng = jax.random.PRNGKey(0)
 
-    def build(num_items, num_cats):
+    def build(num_items, num_cats, shared_gather=True):
         gen = SyntheticSequence(num_items=num_items, num_cats=num_cats,
                                 max_len=T, seed=0)
         host = gen.sample(B, seed=1)
-        model = DIEN(item_vocab=num_items, cat_vocab=num_cats)
+        model = DIEN(item_vocab=num_items, cat_vocab=num_cats,
+                     shared_gather=shared_gather)
         loss_fn, eval_fn = make_aux_loss_task(model)
         tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
         state = tr.init_state(
@@ -74,6 +75,9 @@ def profile_dien(B=1024, T=100):
 
     model, loss_fn, tr, state, b = build(400_000, 1500)
     print(f"dien full         : {bench_full(tr, state, b, rng):8.2f} ms")
+
+    _, _, tr3, state3, b3 = build(400_000, 1500, shared_gather=False)
+    print(f"dien full 3-gather: {bench_full(tr3, state3, b3, rng):8.2f} ms")
 
     @jax.jit
     def fwd(params, batch):

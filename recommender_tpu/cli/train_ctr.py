@@ -52,8 +52,9 @@ def main(argv=None):
                         "(0.92x DLRM b8192, benchmarks/RESULTS.md) — auto "
                         "resolves to OFF; 'on' keeps the path exercisable")
     p.add_argument("--embed_dtype", choices=["f32", "bf16"], default="f32",
-                   help="bf16 = store the table param in bfloat16 (17% step "
-                        "win at DLRM scale; see DLRM.embed_param_dtype)")
+                   help="bf16 = store the table param in bfloat16: ~20% step "
+                        "win at DLRM scale, quality-neutral (stochastic "
+                        "rounding auto-enables; see DLRM.embed_param_dtype)")
     args = p.parse_args(argv)
     log = make_logger(args)
     if args.lr_schedule == "dlrm":

@@ -48,6 +48,15 @@ class SequenceBase(nn.Module):
     cat_dim: int = 18
     mlp_units: Sequence[int] = (200, 80, 1)
     partition: Optional[str] = None
+    # One gather per table for ALL id sets of the step (target + pos
+    # history + neg history concatenated) instead of one per set. Identical
+    # math; the backward collapses to ONE scatter-add per table instead of
+    # three — each scatter pays a full-width destination write (the 400k×64
+    # padded dest for DIEN's item table), so fewer scatters is a direct
+    # HBM-traffic win, and the combined id volume also clears the padded-
+    # backward gate (ops.embedding_kernels.PADDED_BWD_MIN_IDS) at smaller
+    # batch sizes. Measured: benchmarks/profile_dien_mmoe.py + RESULTS.md.
+    shared_gather: bool = True
 
     def setup(self):
         self.item_embedding = Embedding(self.item_vocab, self.item_dim, partition=self.partition)
@@ -59,6 +68,34 @@ class SequenceBase(nn.Module):
             [self.item_embedding(item), self.cat_embedding(cat)], axis=-1
         )
 
+    def embed_sets(self, items, cats):
+        """Embed several (item_ids, cat_ids) sets — [B] target, [B, T]
+        histories — with ONE lookup per table (see ``shared_gather``).
+        Returns one [..., item_dim+cat_dim] array per input set."""
+        if not self.shared_gather:
+            return [self.embed(i, c) for i, c in zip(items, cats)]
+        import numpy as np
+
+        shapes = [tuple(i.shape) for i in items]
+        flat_i = jnp.concatenate([i.reshape(-1) for i in items])
+        flat_c = jnp.concatenate([c.reshape(-1) for c in cats])
+        emb_i = self.item_embedding(flat_i)
+        emb_c = self.cat_embedding(flat_c)
+        out, off = [], 0
+        for shp in shapes:
+            n = int(np.prod(shp))
+            out.append(
+                jnp.concatenate(
+                    [
+                        emb_i[off : off + n].reshape(*shp, -1),
+                        emb_c[off : off + n].reshape(*shp, -1),
+                    ],
+                    axis=-1,
+                )
+            )
+            off += n
+        return out
+
     def head(self, target_emb, history_repr, train):
         x = jnp.concatenate([target_emb, history_repr], axis=-1)
         prob = self.mlp(x, train=train)
@@ -68,8 +105,10 @@ class SequenceBase(nn.Module):
 class BaseModel(SequenceBase):
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
         mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
-        target = self.embed(batch["target_item"], batch["target_cat"])  # [B, D]
-        his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])  # [B, T, D]
+        target, his = self.embed_sets(
+            [batch["target_item"], batch["pos_his_item"]],
+            [batch["target_cat"], batch["pos_his_cat"]],
+        )  # [B, D], [B, T, D]
         pooled = masked_mean_pool(his, mask)
         return self.head(target, pooled, train)
 
@@ -81,8 +120,10 @@ class DIN(SequenceBase):
 
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
         mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
-        target = self.embed(batch["target_item"], batch["target_cat"])
-        his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])
+        target, his = self.embed_sets(
+            [batch["target_item"], batch["pos_his_item"]],
+            [batch["target_cat"], batch["pos_his_cat"]],
+        )
         pooled = self.local_activation_unit(target, his, mask)
         return self.head(target, pooled, train)
 
@@ -103,9 +144,10 @@ class DIEN(SequenceBase):
 
     def __call__(self, batch: dict, *, train: bool = False):
         mask = (batch["pos_his_item"] != 0).astype(jnp.float32)
-        target = self.embed(batch["target_item"], batch["target_cat"])  # [B, D]
-        pos_his = self.embed(batch["pos_his_item"], batch["pos_his_cat"])
-        neg_his = self.embed(batch["neg_his_item"], batch["neg_his_cat"])
+        target, pos_his, neg_his = self.embed_sets(
+            [batch["target_item"], batch["pos_his_item"], batch["neg_his_item"]],
+            [batch["target_cat"], batch["pos_his_cat"], batch["neg_his_cat"]],
+        )  # [B, D], [B, T, D], [B, T, D]
 
         hidden = self.extract_gru(pos_his, mask)  # [B, T, H]
         # auxiliary loss: h(t) vs pos/neg item at t+1 (dien/layers.py:89-108)

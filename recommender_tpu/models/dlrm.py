@@ -40,12 +40,16 @@ class DLRM(nn.Module):
     mesh: Optional[object] = None
     capacity_factor: float = 2.0  # a2a bucket size; see Embedding.capacity_factor
     embed_compute_dtype: Optional[jnp.dtype] = None  # see Embedding.compute_dtype
-    # Storage dtype of the table param itself. bf16 is a measured 17% step
-    # win at DLRM scale on v5e (9.19 -> 7.66 ms b8192: half-byte scatter
-    # backward + half-byte Adam table update, no cast traffic) at the cost
-    # of bf16-resolution weights/updates: the 300-step synthetic
-    # fingerprint drops eval AUC 0.736 -> 0.700 (update rounding slows
-    # early training) — quality-check before enabling (benchmarks/RESULTS.md).
+    # Storage dtype of the table param itself. bf16 is a measured ~20% step
+    # win at DLRM scale on v5e (8.89 -> 7.30 ms b8192: half-byte scatter
+    # backward + half-byte Adam table update, no cast traffic) and is
+    # QUALITY-NEUTRAL: the Trainer auto-enables stochastic rounding for
+    # low-precision params (core/optim.py adam_sr + SR param writes), which
+    # puts the 300-step fingerprint inside f32's own init-seed noise band
+    # (0.726-0.744; plain round-to-nearest dropped it to 0.700) and the
+    # 3k-step AUC is equal. bench.py runs this config; f32 stays the
+    # default for bit-parity with the reference's replicated f32 tables
+    # (benchmarks/exp_bf16_sr.py, exp_bf16_sr2.py, RESULTS.md).
     embed_param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
