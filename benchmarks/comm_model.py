@@ -215,16 +215,28 @@ def main():
     print("production DLRM shape (B=8192 global, V=1M, D=16, F=26):")
     t_step = 8.8e-3  # measured single-chip step (benchmarks/RESULTS.md)
     ici_bw = 200e9   # v5e spec: 1,600 Gbps interchip bandwidth per chip
+    # Per-hop ICI latency (order-of-magnitude; public TPU numbers put the
+    # link round trip at ~1 us). A ring collective over g devices pays
+    # (g-1) serialized hops. Counted per collective in the step:
+    # gspmd = fwd model all-reduce + bwd data all-reduce (2 collectives);
+    # a2a   = 3 all-to-alls over model + 1 data all-reduce.
+    ici_hop_lat = 1e-6
+    n_coll = {"gspmd": lambda m, d: [(m, 1), (d, 1)],
+              "a2a": lambda m, d: [(m, 3), (d, 1)]}
     prod_dense = dlrm_dense_bytes()
     for d_prod, m_prod in ((8, 1), (4, 2), (2, 4), (1, 8)):
         for strat in ("gspmd", "a2a"):
             p = predict_bytes(strat, 8192 * d_prod, m_prod, d_prod, 16,
                               1_000_000, dense_bytes=prod_dense)
             t_comm = p["total"] / ici_bw
-            eff = t_step / (t_step + t_comm)  # zero-overlap lower bound
+            t_lat = sum((g - 1) * cnt * ici_hop_lat
+                        for g, cnt in n_coll[strat](m_prod, d_prod) if g > 1)
+            eff = t_step / (t_step + t_comm + t_lat)  # zero-overlap lower bound
             print(f"  d={d_prod} m={m_prod} {strat:6s}: {p['total'] / 1e6:8.2f} MB/step/chip"
-                  f" → {t_comm * 1e3:6.2f} ms wire, weak-scaling eff"
-                  f" ≥ {eff:.1%} (no overlap)")
+                  f" → {t_comm * 1e3:6.2f} ms wire + {t_lat * 1e6:5.1f} us latency,"
+                  f" weak-scaling eff ≥ {eff:.1%} (no overlap)")
+    print("\nlatency term: us-scale vs ms-scale wire at these shapes — the"
+          "\nbandwidth model dominates; latency only matters at tiny batch.")
 
 
 if __name__ == "__main__":
