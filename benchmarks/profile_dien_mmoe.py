@@ -61,7 +61,7 @@ def profile_dien(B=1024, T=100):
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
     rng = jax.random.PRNGKey(0)
 
-    def build(num_items, num_cats, shared_gather=True):
+    def build(num_items, num_cats, shared_gather=False):
         gen = SyntheticSequence(num_items=num_items, num_cats=num_cats,
                                 max_len=T, seed=0)
         host = gen.sample(B, seed=1)
@@ -74,21 +74,23 @@ def profile_dien(B=1024, T=100):
         return model, loss_fn, tr, state, tr.put_batch(host)
 
     model, loss_fn, tr, state, b = build(400_000, 1500)
-    print(f"dien full         : {bench_full(tr, state, b, rng):8.2f} ms")
+    print(f"dien full (3-gather default): {bench_full(tr, state, b, rng):8.2f} ms")
 
-    _, _, tr3, state3, b3 = build(400_000, 1500, shared_gather=False)
-    print(f"dien full 3-gather: {bench_full(tr3, state3, b3, rng):8.2f} ms")
+    _, _, trs, states, bs = build(400_000, 1500, shared_gather=True)
+    print(f"dien full shared-gather     : {bench_full(trs, states, bs, rng):8.2f} ms")
+
+    ms0 = state.model_state
 
     @jax.jit
     def fwd(params, batch):
-        per_ex, _, _ = loss_fn(params, {}, batch, rng, True)
+        per_ex, _, _ = loss_fn(params, ms0, batch, rng, True)
         return jnp.mean(per_ex)
 
     print(f"dien fwd          : {bench(fwd, state.params, b):8.2f} ms")
 
     @jax.jit
     def grads(params, batch):
-        g = jax.grad(lambda p: jnp.mean(loss_fn(p, {}, batch, rng, True)[0]))(params)
+        g = jax.grad(lambda p: jnp.mean(loss_fn(p, ms0, batch, rng, True)[0]))(params)
         return jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(x[:1] if x.ndim else x), g, 0.0)
 
@@ -171,16 +173,18 @@ def profile_mmoe(B=8192):
     model, loss_fn, tr, state, b = build(100_000)
     print(f"mmoe full         : {bench_full(tr, state, b, rng):8.2f} ms")
 
+    ms0 = state.model_state
+
     @jax.jit
     def fwd(params, batch):
-        per_ex, _, _ = loss_fn(params, {}, batch, rng, True)
+        per_ex, _, _ = loss_fn(params, ms0, batch, rng, True)
         return jnp.mean(per_ex)
 
     print(f"mmoe fwd          : {bench(fwd, state.params, b):8.2f} ms")
 
     @jax.jit
     def grads(params, batch):
-        g = jax.grad(lambda p: jnp.mean(loss_fn(p, {}, batch, rng, True)[0]))(params)
+        g = jax.grad(lambda p: jnp.mean(loss_fn(p, ms0, batch, rng, True)[0]))(params)
         return jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(x[:1] if x.ndim else x), g, 0.0)
 

@@ -50,13 +50,15 @@ class SequenceBase(nn.Module):
     partition: Optional[str] = None
     # One gather per table for ALL id sets of the step (target + pos
     # history + neg history concatenated) instead of one per set. Identical
-    # math; the backward collapses to ONE scatter-add per table instead of
-    # three — each scatter pays a full-width destination write (the 400k×64
-    # padded dest for DIEN's item table), so fewer scatters is a direct
-    # HBM-traffic win, and the combined id volume also clears the padded-
-    # backward gate (ops.embedding_kernels.PADDED_BWD_MIN_IDS) at smaller
-    # batch sizes. Measured: benchmarks/profile_dien_mmoe.py + RESULTS.md.
-    shared_gather: bool = True
+    # math, and on paper one scatter-add backward per table instead of
+    # three — but MEASURED SLOWER at the flagship shape (DIEN b1024 T100:
+    # 14.98 ms shared vs 10.77 ms with per-set lookups,
+    # benchmarks/profile_dien_mmoe.py 2026-08-21), so it is OFF by
+    # default: the per-set scatters let XLA fuse each pad+scatter into its
+    # own cotangent producer, while the combined path materializes the
+    # concatenated [2BT+B, D] cotangent before one big scatter. Kept as a
+    # measurable A/B knob.
+    shared_gather: bool = False
 
     def setup(self):
         self.item_embedding = Embedding(self.item_vocab, self.item_dim, partition=self.partition)

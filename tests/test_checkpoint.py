@@ -138,3 +138,46 @@ def test_cli_interrupt_resume_matches_uninterrupted(tmp_path, capsys, devices8):
 
     assert abs(a["eval_loss"] - b["eval_loss"]) < 1e-6
     assert abs(a["eval_auc"] - b["eval_auc"]) < 1e-6
+
+
+def test_bf16_sr_resume_matches_uninterrupted(tmp_path, devices8):
+    """The stochastic-rounding path is resume-safe: SR keys derive from the
+    step counter (and the adam_sr count rides the checkpoint), so
+    save-at-5 + restore + 5 more steps is BIT-identical to 10 straight
+    steps on a bf16 table."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh = make_mesh(MeshSpec(8, 1))
+    gen = SyntheticCTR(vocab_size=256, seed=0)
+    train = gen.sample(2048, seed=1)
+    model = DLRM(vocab_size=256, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), embed_param_dtype=jnp.bfloat16)
+    loss_fn, eval_fn = make_ctr_task(model)
+    example = {k: v[:8] for k, v in train.items()}
+
+    def run(steps_a, steps_b, ckpt):
+        cfg = TrainConfig(learning_rate=1e-3, log_every=10**9,
+                          checkpoint_dir=str(tmp_path / ckpt))
+        tr = Trainer(loss_fn, cfg, mesh=mesh, eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, example))
+        assert tr._sr_apply  # bf16 leaf auto-enabled SR
+        state, _ = tr.fit(state, batch_iterator(train, 256, seed=0, epochs=None),
+                          steps=steps_a, prefetch=0)
+        if steps_b:
+            tr.save(state)
+            tr2 = Trainer(cfg=cfg, loss_fn=loss_fn, mesh=mesh, eval_fn=eval_fn)
+            fresh = tr2.init_state(lambda: init_model(model, example, seed=7))
+            state = tr2.restore(fresh)
+            assert int(state.step) == steps_a
+            it = batch_iterator(train, 256, seed=0, epochs=None,
+                                start_batch=int(state.step))
+            state, _ = tr2.fit(state, it, steps=steps_b, prefetch=0)
+        return state
+
+    straight = run(10, 0, "a")
+    resumed = run(5, 5, "b")
+    for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
