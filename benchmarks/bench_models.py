@@ -77,36 +77,47 @@ def bench_deepfm():
 
     B = 8192
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
-    model = DeepFM(vocab_size=1_000_000, embed_dim=16)
     gen = SyntheticCTR(vocab_size=1_000_000, seed=0)
     host = gen.sample(B, seed=1)
-    loss_fn, eval_fn = make_ctr_task(model)
-    tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
-    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
-    report("deepfm_criteo_b8192", _bench_steps(tr, state, tr.put_batch(host)), B)
+    for tag, dtype in (("", None), ("_bf16sr", "bf16")):
+        import jax.numpy as jnp
+
+        model = DeepFM(
+            vocab_size=1_000_000, embed_dim=16,
+            embed_param_dtype=jnp.bfloat16 if dtype else jnp.float32,
+        )
+        loss_fn, eval_fn = make_ctr_task(model)
+        tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+        report(f"deepfm_criteo_b8192{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
-def bench_dien(B=128, T=100):  # reference protocol: batch 128, history 100
+def bench_dien(B=128, T=100, dtype=None, tag=""):
+    # reference protocol: batch 128, history 100
     from recommender_tpu.data.synthetic import SyntheticSequence
     from recommender_tpu.models.dien import DIEN
 
     gen = SyntheticSequence(num_items=400_000, num_cats=1500, max_len=T, seed=0)
     host = gen.sample(B, seed=1)
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
-    model = DIEN(item_vocab=gen.num_items, cat_vocab=gen.num_cats)
+    model = DIEN(item_vocab=gen.num_items, cat_vocab=gen.num_cats,
+                 embed_param_dtype=dtype or jnp.float32)
     loss_fn, eval_fn = make_aux_loss_task(model)
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
-    report(f"dien_amazon_b{B}_T{T}", _bench_steps(tr, state, tr.put_batch(host)), B)
+    report(f"dien_amazon_b{B}_T{T}{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
 def bench_dien_large():
     """Large-batch DIEN: big enough histories (2x 102k ids/call) that the
-    volume-gated padded-scatter backward kicks in (use_padded_backward)."""
+    volume-gated padded-scatter backward kicks in (use_padded_backward).
+    The _bf16sr row stores both tables bf16 with auto stochastic rounding
+    (the r3 budget: embeds fwd+bwd are 6.49 of the 10.65 ms step)."""
     bench_dien(B=1024)
+    bench_dien(B=1024, dtype=jnp.bfloat16, tag="_bf16sr")
 
 
-def bench_mmoe(B: int = 512):
+def bench_mmoe(B: int = 512, dtype=None, tag=""):
     # B=512: reference train batch (esmm/train.py default), dispatch-bound
     from recommender_tpu.data.synthetic import SyntheticMultiTask
     from recommender_tpu.models.esmm import MMOE
@@ -114,18 +125,23 @@ def bench_mmoe(B: int = 512):
     gen = SyntheticMultiTask(vocab_sizes=tuple([100_000] * 18), seed=0)
     host = gen.sample(B, seed=1)
     mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
-    model = MMOE(vocab_sizes=list(gen.vocab_sizes))
+    model = MMOE(vocab_sizes=list(gen.vocab_sizes),
+                 embed_param_dtype=dtype or jnp.float32)
     loss_fn, eval_fn = make_multitask_task(model)
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
-    report(f"mmoe_aliccp_b{B}", _bench_steps(tr, state, tr.put_batch(host)), B)
+    report(f"mmoe_aliccp_b{B}{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
 def bench_mmoe_large():
     """Large-batch MMOE (18 per-table scatters of 8192 ids each — below
     the per-call padded-backward threshold and with no big-narrow table,
-    so the plain fused native path; see RESULTS.md gate check)."""
+    so the plain fused native path; see RESULTS.md gate check). The
+    _bf16sr row stores the 18 tables bf16 with auto stochastic rounding
+    (the r3 budget: embedder fwd+bwd 7.65 + table Adam 1.10 of the
+    10.35 ms step)."""
     bench_mmoe(B=8192)
+    bench_mmoe(B=8192, dtype=jnp.bfloat16, tag="_bf16sr")
 
 
 def bench_eges():

@@ -43,6 +43,8 @@ def bench(fn, *args, steps=STEPS):
 
 
 def bench_full(trainer, state, batch, rng, steps=STEPS):
+    # the step donates `state`, so the caller's buffers are dead after
+    # this — return the live final state alongside the timing
     s = state
     s, m = trainer._train_step(s, batch, rng)
     float(m["loss"])
@@ -50,7 +52,7 @@ def bench_full(trainer, state, batch, rng, steps=STEPS):
     for _ in range(steps):
         s, m = trainer._train_step(s, batch, rng)
     float(m["loss"])
-    return (time.perf_counter() - t0) / steps * 1e3
+    return (time.perf_counter() - t0) / steps * 1e3, s
 
 
 def profile_dien(B=1024, T=100):
@@ -74,10 +76,12 @@ def profile_dien(B=1024, T=100):
         return model, loss_fn, tr, state, tr.put_batch(host)
 
     model, loss_fn, tr, state, b = build(400_000, 1500)
-    print(f"dien full (3-gather default): {bench_full(tr, state, b, rng):8.2f} ms")
+    t_full, state = bench_full(tr, state, b, rng)
+    print(f"dien full (3-gather default): {t_full:8.2f} ms")
 
     _, _, trs, states, bs = build(400_000, 1500, shared_gather=True)
-    print(f"dien full shared-gather     : {bench_full(trs, states, bs, rng):8.2f} ms")
+    t_sh, _ = bench_full(trs, states, bs, rng)
+    print(f"dien full shared-gather     : {t_sh:8.2f} ms")
 
     ms0 = state.model_state
 
@@ -97,7 +101,8 @@ def profile_dien(B=1024, T=100):
     print(f"dien fwd+bwd      : {bench(grads, state.params, b):8.2f} ms")
 
     _, _, tr2, state2, b2 = build(64, 16)
-    print(f"dien full vocab64 : {bench_full(tr2, state2, b2, rng):8.2f} ms")
+    t2, _ = bench_full(tr2, state2, b2, rng)
+    print(f"dien full vocab64 : {t2:8.2f} ms")
 
     # recurrence chain alone (GRU -> attention -> AUGRU) fwd+bwd
     from recommender_tpu.nn.recurrent import AUGRU, GRU
@@ -171,7 +176,8 @@ def profile_mmoe(B=8192):
         return model, loss_fn, tr, state, tr.put_batch(host)
 
     model, loss_fn, tr, state, b = build(100_000)
-    print(f"mmoe full         : {bench_full(tr, state, b, rng):8.2f} ms")
+    t_full, state = bench_full(tr, state, b, rng)
+    print(f"mmoe full         : {t_full:8.2f} ms")
 
     ms0 = state.model_state
 
@@ -191,7 +197,8 @@ def profile_mmoe(B=8192):
     print(f"mmoe fwd+bwd      : {bench(grads, state.params, b):8.2f} ms")
 
     _, _, tr2, state2, b2 = build(8)
-    print(f"mmoe full vocab8  : {bench_full(tr2, state2, b2, rng):8.2f} ms")
+    t2, _ = bench_full(tr2, state2, b2, rng)
+    print(f"mmoe full vocab8  : {t2:8.2f} ms")
 
     # embedder alone: 18 per-table gather+scatter chains fwd+bwd
     import flax.linen as nn

@@ -59,16 +59,32 @@ class SequenceBase(nn.Module):
     # concatenated [2BT+B, D] cotangent before one big scatter. Kept as a
     # measurable A/B knob.
     shared_gather: bool = False
+    # bf16-stored tables + auto stochastic rounding (core/optim.py): the
+    # r3 budget shows DIEN b1024 is embedding-bound (embeds fwd+bwd 6.49
+    # of the 10.65 ms step), so halving table bytes is the direct lever —
+    # measured in benchmarks/bench_models.py dien_amazon_*_bf16sr.
+    embed_param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.item_embedding = Embedding(self.item_vocab, self.item_dim, partition=self.partition)
-        self.cat_embedding = Embedding(self.cat_vocab, self.cat_dim, partition=self.partition)
+        self.item_embedding = Embedding(self.item_vocab, self.item_dim,
+                                        partition=self.partition,
+                                        param_dtype=self.embed_param_dtype)
+        self.cat_embedding = Embedding(self.cat_vocab, self.cat_dim,
+                                       partition=self.partition,
+                                       param_dtype=self.embed_param_dtype)
         self.mlp = MLP(self.mlp_units, final_activation=nn.sigmoid, input_batch_norm=True)
 
     def embed(self, item, cat):
-        return jnp.concatenate(
+        # bf16-stored tables: upcast the GATHERED activations to f32 so the
+        # downstream scans/MLPs keep their f32 carries — a [B,T,D]-sized
+        # cast (~30 MB at b1024), not the per-step whole-table cast that
+        # made Embedding.compute_dtype a loss. The astype's transpose
+        # rounds the cotangent back to bf16 before the scatter, keeping
+        # the half-byte backward.
+        out = jnp.concatenate(
             [self.item_embedding(item), self.cat_embedding(cat)], axis=-1
         )
+        return out.astype(jnp.float32)
 
     def embed_sets(self, items, cats):
         """Embed several (item_ids, cat_ids) sets — [B] target, [B, T]
@@ -93,7 +109,7 @@ class SequenceBase(nn.Module):
                         emb_c[off : off + n].reshape(*shp, -1),
                     ],
                     axis=-1,
-                )
+                ).astype(jnp.float32)
             )
             off += n
         return out

@@ -69,6 +69,11 @@ class FeatureEmbedder(nn.Module):
     lookup_modes: str | Sequence[str] = "gspmd"
     capacity_factors: float | Sequence[float] = 2.0
     mesh: object | None = None
+    # bf16-stored tables + auto stochastic rounding: the r3 MMOE budget is
+    # embedding-dominated (embedder fwd+bwd 7.65 of the 10.35 ms b8192
+    # step + 1.10 ms table Adam) — bf16 halves those bytes. Per-table path
+    # only (the stacked path stays f32).
+    param_dtype: jnp.dtype = jnp.float32
 
     def _per_feat(self, v):
         n = len(self.vocab_sizes)
@@ -90,9 +95,13 @@ class FeatureEmbedder(nn.Module):
                     v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j],
                     lookup_mode=lookups[j], capacity_factor=float(caps[j]),
                     mesh=self.mesh if lookups[j] == "a2a" else None,
+                    param_dtype=self.param_dtype,
                 )
                 cols.append(emb(features[:, j]))
-            return jnp.concatenate(cols, axis=-1)
+            # bf16-stored tables: upcast gathered activations (cheap) so
+            # towers/experts keep f32 math; the astype transpose rounds
+            # the cotangent back to bf16 before each scatter.
+            return jnp.concatenate(cols, axis=-1).astype(jnp.float32)
 
         if self.lookup_modes != "gspmd":
             raise ValueError(
@@ -157,6 +166,7 @@ class MultiTaskBase(nn.Module):
     lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
     capacity_factors: float | Sequence[float] = 2.0
     mesh: object | None = None
+    embed_param_dtype: jnp.dtype = jnp.float32  # see FeatureEmbedder.param_dtype
 
     @nn.compact
     def __call__(self, batch: dict, *, train: bool = False) -> jnp.ndarray:
@@ -164,6 +174,7 @@ class MultiTaskBase(nn.Module):
             self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
             lookup_modes=self.lookup_modes,
             capacity_factors=self.capacity_factors, mesh=self.mesh,
+            param_dtype=self.embed_param_dtype,
         )(batch["features"])
         out = MLP(self.mlp_units, final_activation=nn.softmax)(x, train=train)
         # reference uses a 2-unit softmax head; prob of class 1
@@ -179,12 +190,14 @@ class ESMM(nn.Module):
     lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
     capacity_factors: float | Sequence[float] = 2.0
     mesh: object | None = None
+    embed_param_dtype: jnp.dtype = jnp.float32  # see FeatureEmbedder.param_dtype
 
     def setup(self):
         self.embedder = FeatureEmbedder(
             self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
             lookup_modes=self.lookup_modes,
             capacity_factors=self.capacity_factors, mesh=self.mesh,
+            param_dtype=self.embed_param_dtype,
         )
         self.ctr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
         self.cvr_tower = MLP(self.mlp_units, final_activation=nn.sigmoid)
@@ -208,12 +221,14 @@ class MMOE(nn.Module):
     lookup_modes: str | Sequence[str] = "gspmd"  # see FeatureEmbedder
     capacity_factors: float | Sequence[float] = 2.0
     mesh: object | None = None
+    embed_param_dtype: jnp.dtype = jnp.float32  # see FeatureEmbedder.param_dtype
 
     def setup(self):
         self.embedder = FeatureEmbedder(
             self.vocab_sizes, self.embed_dim, self.partition, self.stack_tables,
             lookup_modes=self.lookup_modes,
             capacity_factors=self.capacity_factors, mesh=self.mesh,
+            param_dtype=self.embed_param_dtype,
         )
         self.expert_bank = ExpertBank(self.num_experts, self.expert_units)
         self.gates = [
