@@ -63,31 +63,51 @@ def _local_gather_fwd(shard, idx, valid):
 
 
 def _local_gather_bwd(res, cot):
-    from recommender_tpu.ops.embedding_kernels import padded_scatter_add
+    from recommender_tpu.ops.embedding_kernels import (
+        PADDED_BWD_MAX_ROWS,
+        padded_scatter_add,
+        sorted_scatter_add,
+    )
 
     idx, valid, rows, proto = res
     upd = jnp.where(valid[:, None], cot, 0.0)
-    grad = padded_scatter_add(jnp.clip(idx, 0, rows - 1), upd, rows)
+    safe = jnp.clip(idx, 0, rows - 1)
+    if rows <= PADDED_BWD_MAX_ROWS:
+        grad = padded_scatter_add(safe, upd, rows)
+    else:
+        # huge shards (> 2M rows): the 64-lane padded dest stops paying
+        # (10M-row sweep, exp_shard_backward --big); the Pallas packed
+        # scatter wins 2.2x at 2.5M rows
+        flat = safe.reshape(-1).astype(jnp.int32)
+        order = jnp.argsort(flat).astype(jnp.int32)
+        grad = sorted_scatter_add(
+            flat[order], upd.reshape(-1, upd.shape[-1]).astype(jnp.float32),
+            rows, order=order, precision=jax.lax.Precision.HIGHEST,
+        )
     return grad.astype(proto.dtype), None, None
 
 
 _local_gather.defvjp(_local_gather_fwd, _local_gather_bwd)
 
 
-# Destination-size gate for the padded scatter-add backward, measured
+# Destination-size gates for the custom scatter-add backward, measured
 # single-chip at the real per-shard shapes (benchmarks/exp_shard_backward.py,
 # 213k-id cotangent into V/m x 16): XLA's native narrow scatter costs
-# ~23 ms at 1M and 500k destination rows (the cliff the padded VJP avoids:
-# 6.1/5.2 ms) but drops to 3.8-4.3 ms at 250k/125k rows — BELOW the padded
-# path (4.6-4.9). So shards smaller than this threshold keep plain-AD
-# backward; larger shards route through padded_scatter_add.
+# ~23 ms at 312k-10M destination rows, the padded path wins 4-5x in
+# [300k, 2M] (4.9-5.5 ms), the Pallas packed scatter takes the 2-5M
+# window (10.3 ms at 2.5M vs 21.0 padded / 23.1 native), and above ~5M
+# nothing beats native fused into the step (10M: native 24.4 vs padded
+# 44.6 / pallas 27.9). Shards below the MIN keep plain-AD backward.
 PADDED_BWD_MIN_SHARD_ROWS = 300_000
 
 
 def _masked_gather(shard: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray):
-    """Shape-gated masked gather: custom padded-scatter VJP only where the
-    per-shard destination is large enough for XLA's narrow scatter cliff."""
-    if shard.shape[0] >= PADDED_BWD_MIN_SHARD_ROWS:
+    """Shape-gated masked gather: custom VJP (padded scatter ≤2M rows,
+    Pallas sorted scatter in the 2-5M window) only where the per-shard
+    destination sits in a regime the custom paths win (gates above)."""
+    from recommender_tpu.ops.embedding_kernels import PALLAS_BWD_MAX_ROWS
+
+    if PADDED_BWD_MIN_SHARD_ROWS <= shard.shape[0] <= PALLAS_BWD_MAX_ROWS:
         return _local_gather(shard, idx, valid)
     out = jnp.take(shard, jnp.clip(idx, 0, shard.shape[0] - 1), axis=0)
     return jnp.where(valid[:, None], out, 0.0)

@@ -289,21 +289,44 @@ def is_big_narrow_table(shape) -> bool:
 # native 23.9 vs padded 14.0 at b1024).
 PADDED_BWD_MIN_IDS = 32_768
 
+# ROW-COUNT windows for the custom backward (measured 2026-08-21,
+# exp_shard_backward.py --big: 213k Zipf ids, D=16, v5e, standalone):
+#
+#   rows     native   padded   pallas(sorted, incl. device argsort)
+#   312.5k   22.7     4.9      5.5
+#   625k     22.9     5.5      5.8
+#   1M       22*      5.3*     4.8*        (*r2 numbers, same protocol)
+#   2.5M     23.1     21.0     10.3
+#   10M      24.4     44.6     27.9
+#
+# The padded scatter's advantage collapses once the 64-lane destination
+# gets huge (10M rows: 2.56 GB dest — padded is 1.8x WORSE than native),
+# while the Pallas packed scatter-as-matmul takes over in the 2-5M window
+# (2.2x over native at 2.5M). Above ~5M rows nothing beats XLA's native
+# scatter fused into the step.
+PADDED_BWD_MAX_ROWS = 2_000_000
+PALLAS_BWD_MAX_ROWS = 5_000_000
+
 
 def use_padded_backward(table_shape, n_ids: int) -> bool:
-    """Static per-lookup choice of the padded-scatter custom-VJP backward.
+    """Static per-lookup choice of the custom-VJP backward (padded scatter
+    for tables ≤ PADDED_BWD_MAX_ROWS rows; Pallas sorted scatter in the
+    2-5M-row window — ``_lookup_bwd`` picks by row count).
 
     Narrow tables (cols < 64, XLA's slow-scatter regime) take it when this
     call scatters enough rows that the 4× slow native path dominates the
-    padding overhead. Purely volume-gated (the Trainer's split step is
-    gated on the same threshold via ``_batch_id_volume``): a small batch
-    into a big narrow table — e.g. MMOE b512's 9.2k ids into the stacked
-    1.8M×18 table — is better served by the native scatter fused into one
-    step (measured 2026-08-19, stacked MMOE b512: volume-gated fused-native
+    padding overhead. Volume-gated (the Trainer's split step is gated on
+    the same threshold via ``_batch_id_volume``): a small batch into a big
+    narrow table — e.g. MMOE b512's 9.2k ids into the stacked 1.8M×18
+    table — is better served by the native scatter fused into one step
+    (measured 2026-08-19, stacked MMOE b512: volume-gated fused-native
     4.2 ms vs always-padded+split 6.6 ms; DLRM b8192's 213k-id lookups
     clear the threshold and keep the padded backward + split step,
-    14.3 → 8.9 ms)."""
+    14.3 → 8.9 ms). Row-gated above (measured table in the constants
+    block): > PALLAS_BWD_MAX_ROWS rows → native fused scatter."""
     if len(table_shape) != 2 or table_shape[1] >= _FAST_WIDTH:
+        return False
+    if table_shape[0] > PALLAS_BWD_MAX_ROWS:
         return False
     return n_ids >= PADDED_BWD_MIN_IDS
 
@@ -324,7 +347,20 @@ def _lookup_fwd(table, ids):
 
 def _lookup_bwd(res, cot):
     ids, vocab, proto = res
-    grad = padded_scatter_add(ids, cot, vocab)
+    if vocab <= PADDED_BWD_MAX_ROWS:
+        grad = padded_scatter_add(ids, cot, vocab)
+    else:
+        # 2-5M-row window: the padded dest is too large, the Pallas packed
+        # scatter (device argsort + one-hot MXU accumulation) wins 2.2x
+        # over native at 2.5M (constants block). HIGHEST keeps the
+        # accumulation exact f32 (the kernel is DMA-bound at these sizes).
+        cot2 = cot.reshape(-1, cot.shape[-1]).astype(jnp.float32)
+        flat = ids.reshape(-1).astype(jnp.int32)
+        order = jnp.argsort(flat).astype(jnp.int32)
+        grad = sorted_scatter_add(
+            flat[order], cot2, vocab, order=order,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return grad.astype(proto.dtype), None
 
 

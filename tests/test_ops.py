@@ -137,3 +137,39 @@ def test_use_padded_backward_gate():
     assert use_padded_backward((400_000, 18), PADDED_BWD_MIN_IDS)
     assert not use_padded_backward((400_000, 64), 10_000_000)  # wide: never
     assert not use_padded_backward((400_000,), 10_000_000)  # not a table
+
+
+def test_row_count_gates_and_pallas_window_backward(monkeypatch):
+    """The custom backward is ROW-gated too (exp_shard_backward --big,
+    2026-08-21): padded ≤2M rows, Pallas sorted scatter in the 2-5M
+    window, native above. Gate logic + the Pallas-branch gradient
+    (interpret mode, constants shrunk to keep CPU interpret fast)."""
+    from jax.experimental import pallas as pl
+
+    import recommender_tpu.ops.embedding_kernels as ek
+
+    # gate: >5M-row narrow tables go native even at huge id volume
+    assert not ek.use_padded_backward((10_000_000, 16), 1_000_000)
+    assert ek.use_padded_backward((2_500_000, 16), ek.PADDED_BWD_MIN_IDS)
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    # steer a small table through the pallas branch of _lookup_bwd
+    monkeypatch.setattr(ek, "PADDED_BWD_MAX_ROWS", 100)
+    rng = np.random.default_rng(5)
+    V, D, N = 4000, 16, 2000
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+
+    def loss(t):
+        return jnp.sum(ek.embedding_lookup(t, ids) ** 2)
+
+    grad = jax.grad(loss)(table)
+    want = np.zeros((V, D), np.float32)
+    np.add.at(want, np.asarray(ids), 2.0 * np.asarray(table)[np.asarray(ids)])
+    np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-4, atol=1e-4)
