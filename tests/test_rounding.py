@@ -162,3 +162,24 @@ def test_trainer_auto_enables_sr_for_bf16_params():
 def test_has_low_precision_leaf():
     assert has_low_precision_leaf({"a": jnp.ones((2,), jnp.bfloat16)})
     assert not has_low_precision_leaf({"a": jnp.ones((2,)), "i": jnp.zeros((2,), jnp.int32)})
+
+
+def test_adam_sr_composes_with_lr_scales():
+    """make_optimizer(stochastic=True) + lr_scales chain: the damped
+    subtree's update is scaled AFTER adam_sr, same as the f32 path."""
+    from recommender_tpu.core.train import make_optimizer
+
+    params = {"cat_embedding": jnp.ones((4, 2), jnp.bfloat16),
+              "mlp": jnp.ones((3,), jnp.float32)}
+    grads = {"cat_embedding": jnp.full((4, 2), 0.5, jnp.bfloat16),
+             "mlp": jnp.full((3,), 0.5)}
+    cfg = TrainConfig(learning_rate=1e-2, lr_scales={"cat_embedding": 0.5})
+    base_cfg = TrainConfig(learning_rate=1e-2)
+    opt = make_optimizer(cfg, stochastic=True)
+    opt0 = make_optimizer(base_cfg, stochastic=True)
+    u, _ = opt.update(grads, opt.init(params), params)
+    u0, _ = opt0.update(grads, opt0.init(params), params)
+    np.testing.assert_allclose(np.asarray(u["cat_embedding"], np.float32),
+                               0.5 * np.asarray(u0["cat_embedding"], np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u["mlp"]), np.asarray(u0["mlp"]))
