@@ -619,14 +619,23 @@ class Trainer:
 
 
 def _has_big_narrow_table(params) -> bool:
-    """True if any 2-D param is a big narrow embedding table — the shape
-    class that trips XLA's fused-graph layout assignment (see
+    """True if any 2-D F32 param is a big narrow embedding table — the
+    shape class that trips XLA's fused-graph layout assignment (see
     TrainConfig.split_step; threshold shared with the Embedding lookup in
-    ops.embedding_kernels.is_big_narrow_table)."""
+    ops.embedding_kernels.is_big_narrow_table). F32-only: at bf16 the
+    fused single jit is measured FASTER than the split (7.23 vs
+    7.35-7.64 ms, DLRM b8192 — benchmarks/exp_bf16_fused.py 2026-08-21:
+    either the (16,128) bf16 tiling avoids the column-major flip or its
+    cost is under the ~1 ms second dispatch), so bf16-table models keep
+    one jit."""
     from recommender_tpu.ops.embedding_kernels import is_big_narrow_table
 
     for leaf in jax.tree_util.tree_leaves(params):
-        if getattr(leaf, "ndim", 0) == 2 and is_big_narrow_table(leaf.shape):
+        if (
+            getattr(leaf, "ndim", 0) == 2
+            and getattr(leaf, "dtype", None) == jnp.float32
+            and is_big_narrow_table(leaf.shape)
+        ):
             return True
     return False
 

@@ -108,6 +108,12 @@ class FeatureEmbedder(nn.Module):
                 "stacked tables support only the gspmd lookup; use per-table "
                 f"mode (stack=False) for lookup_modes={self.lookup_modes!r}"
             )
+        if jnp.dtype(self.param_dtype) != jnp.float32:
+            raise ValueError(
+                "stacked tables are f32-only (measured slower anyway — module "
+                "docstring); use per-table mode (stack=False) for "
+                f"param_dtype={self.param_dtype}"
+            )
         vocab_sizes = tuple(int(v) for v in self.vocab_sizes)
         total = sum(vocab_sizes)
         dim = self.embed_dim
