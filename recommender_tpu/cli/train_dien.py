@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--model_type", choices=list(MODELS), default="DIEN")
     p.add_argument("--embedding_size", type=int, default=18)
     p.add_argument("--history_max_length", type=int, default=100)
+    p.add_argument("--embed_dtype", choices=["f32", "bf16"], default="f32",
+                   help="bf16 = store both tables in bfloat16: +18% step at "
+                        "b1024, quality-neutral (stochastic rounding "
+                        "auto-enables; benchmarks/RESULTS.md r3 zoo study)")
     p.add_argument("--train_file", type=str, default="")
     p.add_argument("--test_file", type=str, default="")
     p.add_argument("--vocab_dir", type=str, default="")
@@ -62,11 +66,14 @@ def main(argv=None):
         )
         eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
 
+    import jax.numpy as jnp
+
     model = MODELS[args.model_type](
         item_vocab=item_vocab_size,
         cat_vocab=cat_vocab_size,
         item_dim=args.embedding_size,
         cat_dim=args.embedding_size,
+        embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
     )
     task = make_aux_loss_task if args.model_type == "DIEN" else make_ctr_task
     loss_fn, eval_fn = task(model)

@@ -155,3 +155,13 @@ def test_cli_ctr_a2a_lookup(capsys):
         "--eval_batches", "1",
     ])
     assert '"final"' in capsys.readouterr().out
+
+
+def test_cli_dien_bf16(capsys):
+    train_dien.main(COMMON + [
+        "--model_type", "DIEN", "--history_max_length", "10",
+        "--embedding_size", "8", "--embed_dtype", "bf16",
+        "--train_batch_size", "64", "--test_batch_size", "128",
+        "--eval_batches", "2",
+    ])
+    assert '"final"' in capsys.readouterr().out
