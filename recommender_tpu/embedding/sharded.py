@@ -65,6 +65,7 @@ def _local_gather_fwd(shard, idx, valid):
 def _local_gather_bwd(res, cot):
     from recommender_tpu.ops.embedding_kernels import (
         PADDED_BWD_MAX_ROWS,
+        _pallas_available,
         padded_scatter_add,
         sorted_scatter_add,
     )
@@ -72,7 +73,7 @@ def _local_gather_bwd(res, cot):
     idx, valid, rows, proto = res
     upd = jnp.where(valid[:, None], cot, 0.0)
     safe = jnp.clip(idx, 0, rows - 1)
-    if rows <= PADDED_BWD_MAX_ROWS:
+    if rows <= PADDED_BWD_MAX_ROWS or not _pallas_available():
         grad = padded_scatter_add(safe, upd, rows)
     else:
         # huge shards (> 2M rows): the 64-lane padded dest stops paying

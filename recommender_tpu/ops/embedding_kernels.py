@@ -345,9 +345,16 @@ def _lookup_fwd(table, ids):
     return jnp.take(table, ids, axis=0), (ids, table.shape[0], proto)
 
 
+def _pallas_available() -> bool:
+    """The packed scatter is a TPU Pallas kernel; on other backends the
+    2-5M-row window falls back to the padded scatter (trace-time check —
+    tests monkeypatch ``pallas_call`` into interpret mode instead)."""
+    return jax.default_backend() == "tpu"
+
+
 def _lookup_bwd(res, cot):
     ids, vocab, proto = res
-    if vocab <= PADDED_BWD_MAX_ROWS:
+    if vocab <= PADDED_BWD_MAX_ROWS or not _pallas_available():
         grad = padded_scatter_add(ids, cot, vocab)
     else:
         # 2-5M-row window: the padded dest is too large, the Pallas packed

@@ -160,7 +160,9 @@ def test_row_count_gates_and_pallas_window_backward(monkeypatch):
 
     monkeypatch.setattr(pl, "pallas_call", interp_call)
     # steer a small table through the pallas branch of _lookup_bwd
+    # (incl. past the backend guard, since pallas_call is interpreted here)
     monkeypatch.setattr(ek, "PADDED_BWD_MAX_ROWS", 100)
+    monkeypatch.setattr(ek, "_pallas_available", lambda: True)
     rng = np.random.default_rng(5)
     V, D, N = 4000, 16, 2000
     table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
