@@ -238,6 +238,25 @@ def main():
     print("\nlatency term: us-scale vs ms-scale wire at these shapes — the"
           "\nbandwidth model dominates; latency only matters at tiny batch.")
 
+    # bf16+SR table (the bench.py config): activations/table grads at 2
+    # bytes, measured 7.30 ms step — comm halves with the payload dtype
+    # while the step shrank 18%, so the efficiency bounds barely move.
+    print("\nsame, bf16-stored table (7.30 ms step, 2-byte table payloads):")
+    t_step = 7.30e-3
+    for d_prod, m_prod in ((8, 1), (2, 4)):
+        for strat in ("gspmd", "a2a"):
+            p = predict_bytes(strat, 8192 * d_prod, m_prod, d_prod, 16,
+                              1_000_000, dense_bytes=prod_dense)
+            # table/activation terms halve (bf16); dense-MLP grads stay f32
+            dense_term = 2 * prod_dense * (d_prod - 1) / d_prod
+            bf16_total = 0.5 * p["total"] + 0.5 * dense_term
+            t_comm = bf16_total / ici_bw
+            t_lat = sum((g - 1) * cnt * ici_hop_lat
+                        for g, cnt in n_coll[strat](m_prod, d_prod) if g > 1)
+            eff = t_step / (t_step + t_comm + t_lat)
+            print(f"  d={d_prod} m={m_prod} {strat:6s}: {bf16_total / 1e6:8.2f} MB/step/chip"
+                  f" → weak-scaling eff ≥ {eff:.1%} (no overlap)")
+
 
 if __name__ == "__main__":
     main()
