@@ -127,3 +127,44 @@ def test_overflow_counter_and_planner_capacity(devices8):
     cap = capacity_factor_from_ids(batch["cat_features"], m, V)
     assert cap == float(m)  # max skew -> lossless bound
     assert run(cap) == 0
+
+
+def test_all_to_all_bf16_table(devices8):
+    """The a2a exchange routes bf16 vectors correctly (the bench.py config
+    combined with explicit a2a): forward matches take, and a full bf16+SR
+    DLRM train step over the a2a route runs finite on the (2,4) mesh."""
+    mesh = make_mesh(MeshSpec(2, 4))
+    t = _table(v=64, d=8).astype(jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 64, size=(4, 6)).astype(np.int32)
+    tbl = shard_table(jnp.asarray(t), mesh)
+    out = jax.jit(
+        lambda tb, i: all_to_all_lookup(tb, i, mesh, capacity_factor=4.0)
+    )(tbl, jnp.asarray(ids))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(t, np.float32)[ids], rtol=1e-2
+    )
+
+    from recommender_tpu.core.train import TrainConfig, Trainer
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+    from recommender_tpu.models.tasks import init_model, make_ctr_task
+    from recommender_tpu.parallel.partitioning import param_shardings
+
+    gen = SyntheticCTR(vocab_size=128, seed=0)
+    batch = gen.sample(32, seed=1)
+    model = DLRM(vocab_size=128, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), partition="model", lookup_mode="a2a",
+                 mesh=mesh, capacity_factor=4.0,
+                 embed_param_dtype=jnp.bfloat16)
+    loss_fn, _ = make_ctr_task(model)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pshard = param_shardings(variables["params"], mesh)
+    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-2), mesh=mesh,
+                 param_shardings=pshard)
+    state = tr.init_state(lambda: init_model(model, batch))
+    assert tr._sr_apply
+    state, metrics = tr._train_step(state, tr.put_batch(batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics.get("a2a_overflow", 0)) == 0
