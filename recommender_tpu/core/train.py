@@ -272,7 +272,19 @@ class Trainer:
                 return leaf.reshape((accum, b // accum) + leaf.shape[1:])
 
             micro = jax.tree_util.tree_map(to_micro, batch)
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            # Accumulate float grads in f32 even for low-precision params:
+            # summing bf16 microbatch grads in bf16 loses sub-ulp
+            # contributions exactly the way the SR machinery exists to
+            # prevent on the param write. adam_sr's f32 moment math
+            # consumes the f32 sums directly.
+            def zero_acc(p):
+                dt = p.dtype
+                if jnp.issubdtype(dt, jnp.floating):
+                    dt = jnp.promote_types(dt, jnp.float32)
+                return jnp.zeros(p.shape, dt)
+
+            zero_grads = jax.tree_util.tree_map(zero_acc, state.params)
 
             def body(carry, inp):
                 acc, ms = carry
@@ -280,7 +292,9 @@ class Trainer:
                 (loss, (aux, new_ms)), g = jax.value_and_grad(
                     scalar_loss, has_aux=True
                 )(state.params, ms, mb, jax.random.fold_in(rng, i))
-                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                acc = jax.tree_util.tree_map(
+                    lambda a, gg: a + gg.astype(a.dtype), acc, g
+                )
                 return (acc, new_ms), (loss, aux)
 
             (gsum, new_ms), (losses, auxs) = jax.lax.scan(

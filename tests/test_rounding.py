@@ -183,3 +183,40 @@ def test_adam_sr_composes_with_lr_scales():
                                0.5 * np.asarray(u0["cat_embedding"], np.float32),
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(u["mlp"]), np.asarray(u0["mlp"]))
+
+
+def test_accum_grads_accumulate_in_f32_for_bf16_params():
+    """accum_steps>1 with a bf16 table: microbatch grads sum in f32 (a
+    bf16 accumulator would lose sub-ulp contributions), and the accum step
+    tracks the single-batch step closely."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch):
+            t = self.param("table", nn.initializers.normal(0.5), (32, 4),
+                           jnp.bfloat16)
+            return jnp.take(t, batch["ids"], axis=0).astype(jnp.float32).sum(-1)
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    batch = {"ids": rng.integers(0, 32, 64).astype(np.int32),
+             "label": rng.normal(size=64).astype(np.float32)}
+
+    def loss_fn(params, ms, b, key, train):
+        out = model.apply({"params": params}, b)
+        return (out - b["label"]) ** 2, {}, ms
+
+    def run(accum):
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-2, accum_steps=accum))
+        state = tr.init_state(
+            lambda: (model.init(jax.random.PRNGKey(0), batch)["params"], {}))
+        state, m = tr._train_step(state, tr.put_batch(batch), jax.random.PRNGKey(1))
+        return np.asarray(state.params["table"], np.float32), float(m["loss"])
+
+    p1, l1 = run(1)
+    p2, l2 = run(2)
+    assert abs(l1 - l2) < 1e-3
+    # params differ only by SR draw noise on identical expected updates:
+    # within one bf16 ulp of the table scale
+    assert np.max(np.abs(p1 - p2)) <= 0.5 * 2.0 ** -6
