@@ -102,6 +102,98 @@ def run_dien(steps=3000):
         report(name, steps=steps, **ev)
 
 
+def run_dien_drift(steps=3000, seeds=(0, 1, 2)):
+    """Discriminative sequence benchmark (VERDICT r3 #1): interest-DRIFT
+    data where the label depends on history ORDER (recent-topic positives,
+    stale-topic hard negatives — data/synthetic.py::SyntheticInterestDrift).
+    BASE/DIN are permutation-invariant poolers capped near the bag-match
+    oracle; DIEN's recurrence can read the order. 3 seeds per model
+    (init + data draw + batch order), mean ± band reported, so the
+    BASE < DIN << DIEN ordering is certified against measured run noise
+    rather than claimed from single-run deltas (the r3 retraction class).
+    """
+    from recommender_tpu.data.synthetic import SyntheticInterestDrift
+    from recommender_tpu.models.dien import DIEN, DIN, BaseModel
+
+    gen = SyntheticInterestDrift(seed=0)
+    test = gen.sample(50_000, seed=999)
+    oracles = gen.oracle_aucs(test)
+    report("drift_oracles", **oracles)
+    for name, cls, task in (
+        ("drift_base", BaseModel, make_ctr_task),
+        ("drift_din", DIN, make_ctr_task),
+        ("drift_dien", DIEN, make_aux_loss_task),
+    ):
+        aucs = []
+        for s in seeds:
+            train = gen.sample(400_000, seed=100 + s)
+            model = cls(item_vocab=gen.num_items, cat_vocab=gen.num_cats)
+            loss_fn, eval_fn = task(model)
+            tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                         mesh=mesh1(), eval_fn=eval_fn)
+            state = tr.init_state(
+                lambda: init_model(model, {k: v[:8] for k, v in train.items()}, seed=s)
+            )
+            state, _ = tr.fit(
+                state, batch_iterator(train, 512, epochs=None, seed=s), steps=steps
+            )
+            ev = tr.evaluate(state, batch_iterator(test, 2048, shuffle=False), exact=True)
+            aucs.append(ev["eval_auc_exact"])
+            report(f"{name}_seed{s}", steps=steps, **ev)
+        report(name, steps=steps, auc_mean=float(np.mean(aucs)),
+               auc_band=float(np.max(aucs) - np.min(aucs)),
+               auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
+
+
+def _train_base_protocol(gen, train, test, *, steps, seed=0, batch=1024,
+                         lr=1e-3):
+    """The reference's headline Base comparison (``esmm/train.py:14-91``):
+    a CTR model on impressions + a separate CVR model on clicks; CTCVR
+    score = product of the two models on impressions. Returns
+    (cvr_auc_on_clicks, ctcvr_auc_on_impressions), both exact."""
+    from recommender_tpu.core.metrics import exact_auc
+    from recommender_tpu.data.aliccp import click_only
+    from recommender_tpu.models.esmm import MultiTaskBase
+    from recommender_tpu.models.tasks import make_ctr_task
+
+    models = {}
+    for role, label in (("ctr", "click"), ("cvr", "purchase")):
+        data = train if role == "ctr" else click_only(train)
+        arrays = dict(data)
+        arrays["label"] = arrays[label]
+        model = MultiTaskBase(vocab_sizes=list(gen.vocab_sizes))
+        loss_fn, eval_fn = make_ctr_task(model)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=lr, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        state = tr.init_state(
+            lambda: init_model(model, {k: v[:8] for k, v in arrays.items()}, seed=seed)
+        )
+        bs = min(batch, len(arrays["label"]))
+        state, _ = tr.fit(
+            state, batch_iterator(arrays, bs, epochs=None, seed=seed), steps=steps
+        )
+        models[role] = (model, state, tr)
+
+    clicks = click_only(test)
+    clicks = dict(clicks)
+    clicks["label"] = clicks["purchase"]
+    cvr_m, cvr_s, cvr_tr = models["cvr"]
+    cvr_auc = cvr_tr.evaluate(
+        cvr_s, batch_iterator(clicks, 1024, shuffle=False), exact=True
+    )["eval_auc_exact"]
+
+    ctr_m, ctr_s, ctr_tr = models["ctr"]
+    scores, labels = [], []
+    for b in batch_iterator(test, 4096, shuffle=False):
+        db = ctr_tr.put_batch(b)
+        p_ctr = ctr_m.apply({"params": ctr_s.params}, db)
+        p_cvr = cvr_m.apply({"params": cvr_s.params}, db)
+        scores.append(np.asarray(p_ctr) * np.asarray(p_cvr))
+        labels.append(b["purchase"])
+    ctcvr_auc = float(exact_auc(np.concatenate(scores), np.concatenate(labels)))
+    return float(cvr_auc), ctcvr_auc
+
+
 def run_esmm(steps=3000):
     from recommender_tpu.data.aliccp import click_only
     from recommender_tpu.data.synthetic import SyntheticMultiTask
@@ -110,6 +202,8 @@ def run_esmm(steps=3000):
     gen = SyntheticMultiTask(seed=0)
     train = gen.sample(1_000_000, seed=1)
     test = gen.sample(100_000, seed=2)
+    cvr_auc, ctcvr_auc = _train_base_protocol(gen, train, test, steps=steps)
+    report("esmm_base", steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
     for name, cls in (("esmm", ESMM), ("mmoe", MMOE)):
         model = cls(vocab_sizes=list(gen.vocab_sizes))
         loss_fn, eval_fn = make_multitask_task(model)
@@ -127,6 +221,71 @@ def run_esmm(steps=3000):
             make_head_eval(model, "ctcvr", "purchase"), exact=True,
         )
         report(name, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
+
+
+def run_esmm_bias(steps=3000, seeds=(0, 1, 2)):
+    """Selection-bias regime (VERDICT r3 #2): low click rate + Zipf-sparse
+    vocabs + a click/buy confounder (``SyntheticMultiTask`` knobs), the
+    published mechanism the ESMM decomposition corrects (esmm/README.md:
+    17-23). The Base two-model protocol's click-space CVR model is starved
+    of exactly the tail the impression-wide CTCVR eval covers; ESMM/MMOE
+    train full-space with shared embeddings. 3 seeds, mean ± band, so the
+    Base < ESMM separation is certified against measured run noise."""
+    from recommender_tpu.data.aliccp import click_only
+    from recommender_tpu.data.synthetic import SyntheticMultiTask
+    from recommender_tpu.models.esmm import ESMM, MMOE
+
+    # measured regime (tuning log in git): 4.7% click rate, 48% buy|click,
+    # and 6.6% of test id-positions seen <3 times in the 1M-impression
+    # train set's ~47k clicks — ~70% of test examples carry at least one
+    # click-space-undertrained feature value
+    gen = SyntheticMultiTask(
+        seed=0, vocab_sizes=(50_000,) * 18, zipf_a=1.4,
+        click_bias=-4.0, buy_bias=-3.0, confounding=1.5,
+    )
+    test = gen.sample(200_000, seed=999)
+    report("esmm_bias_regime", click_rate=float(test["click"].mean()),
+           buy_rate=float(test["purchase"].mean()))
+    rows = {"base": [], "esmm": [], "mmoe": []}
+    for s in seeds:
+        train = gen.sample(1_000_000, seed=100 + s)
+        cvr_auc, ctcvr_auc = _train_base_protocol(
+            gen, train, test, steps=steps, seed=s
+        )
+        rows["base"].append((cvr_auc, ctcvr_auc))
+        report(f"esmm_bias_base_seed{s}", steps=steps, cvr_auc=cvr_auc,
+               ctcvr_auc=ctcvr_auc)
+        for name, cls in (("esmm", ESMM), ("mmoe", MMOE)):
+            model = cls(vocab_sizes=list(gen.vocab_sizes))
+            loss_fn, eval_fn = make_multitask_task(model)
+            tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                         mesh=mesh1(), eval_fn=eval_fn)
+            state = tr.init_state(
+                lambda: init_model(model, {k: v[:8] for k, v in train.items()}, seed=s)
+            )
+            state, _ = tr.fit(
+                state, batch_iterator(train, 1024, epochs=None, seed=s), steps=steps
+            )
+            clicks = click_only(test)
+            cvr = evaluate_head(
+                tr, state, batch_iterator(clicks, 1024, shuffle=False),
+                make_head_eval(model, "cvr", "purchase"), exact=True,
+            )
+            ctcvr = evaluate_head(
+                tr, state, batch_iterator(test, 4096, shuffle=False),
+                make_head_eval(model, "ctcvr", "purchase"), exact=True,
+            )
+            rows[name].append((cvr, ctcvr))
+            report(f"esmm_bias_{name}_seed{s}", steps=steps, cvr_auc=cvr,
+                   ctcvr_auc=ctcvr)
+    for name, vals in rows.items():
+        cv = [v[0] for v in vals]
+        ct = [v[1] for v in vals]
+        report(f"esmm_bias_{name}", steps=steps,
+               cvr_auc_mean=float(np.mean(cv)),
+               cvr_auc_band=float(np.max(cv) - np.min(cv)),
+               ctcvr_auc_mean=float(np.mean(ct)),
+               ctcvr_auc_band=float(np.max(ct) - np.min(ct)))
 
 
 def run_eges(steps=16000):
@@ -235,6 +394,9 @@ def run_pinsage(steps=6000):  # the reference's hit-rate peaks at step 6000
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["dlrm", "deepfm", "dien", "esmm", "eges", "pinsage"]
+    which = sys.argv[1:] or [
+        "dlrm", "deepfm", "dien", "dien_drift", "esmm", "esmm_bias",
+        "eges", "pinsage",
+    ]
     for name in which:
         globals()[f"run_{name}"]()

@@ -45,7 +45,53 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="also write train/eval curves as TensorBoard event "
                         "files (reference: keras TensorBoard callback, "
                         "ctr/train.py:94)")
+    # ---- multi-host launch surface (core/distributed.py): run the SAME
+    # command on every host of a pod with its --process_id (or the JAX_*
+    # env vars / --distributed auto-detection on TPU pods); single-process
+    # with none set. Replaces the reference's single-host-only
+    # MirroredStrategy launch (dien/distribute_train.py:132).
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 for jax.distributed "
+                        "rendezvous (or JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total processes in the multi-host job "
+                        "(or JAX_NUM_PROCESSES)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's id (or JAX_PROCESS_ID)")
+    p.add_argument("--distributed", action="store_true",
+                   help="bare jax.distributed.initialize() — TPU-pod "
+                        "metadata auto-detection, no explicit coordinator")
     return p
+
+
+def setup_distributed(args) -> tuple[int, int]:
+    """Initialize the multi-host runtime from the CLI flags (no-op when
+    unconfigured). Call FIRST in every entry point, before any jax call
+    that touches devices. Returns (host_id, num_hosts)."""
+    from recommender_tpu.core.distributed import initialize_from_flags
+
+    return initialize_from_flags(
+        getattr(args, "coordinator_address", ""),
+        getattr(args, "num_processes", 0),
+        getattr(args, "process_id", -1),
+        auto=getattr(args, "distributed", False),
+    )
+
+
+def host_local_data(arrays: dict) -> dict:
+    """This process's slice of a full data dict (disjoint, deterministic,
+    union = whole set); identity when single-process."""
+    from recommender_tpu.core.distributed import shard_arrays_for_process
+
+    return shard_arrays_for_process(arrays)
+
+
+def host_batch_size(global_batch: int) -> int:
+    """Rows THIS process feeds per step (global/num_hosts);
+    ``Trainer.put_batch`` reassembles the global batch."""
+    from recommender_tpu.core.distributed import per_process_batch_size
+
+    return per_process_batch_size(global_batch)
 
 
 def build_mesh(args):

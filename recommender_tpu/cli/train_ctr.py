@@ -12,7 +12,15 @@ import glob
 import jax
 import jax.numpy as jnp
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
+from recommender_tpu.cli.common import (
+    base_parser,
+    build_mesh,
+    build_trainer,
+    host_batch_size,
+    host_local_data,
+    make_logger,
+    setup_distributed,
+)
 from recommender_tpu.data.criteo import load_shards, load_vocab, shard_batches
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticCTR
@@ -56,6 +64,7 @@ def main(argv=None):
                         "win at DLRM scale, quality-neutral (stochastic "
                         "rounding auto-enables; see DLRM.embed_param_dtype)")
     args = p.parse_args(argv)
+    host_id, num_hosts = setup_distributed(args)  # before any device use
     log = make_logger(args)
     if args.lr_schedule == "dlrm":
         from recommender_tpu.nn.schedules import dlrm_warmup_cosine
@@ -66,20 +75,37 @@ def main(argv=None):
 
     mesh = build_mesh(args)
 
+    # per-host input sharding (core/distributed.py): each process streams
+    # its disjoint slice at global_batch/num_hosts rows per step; identity
+    # when single-process
+    train_bs = host_batch_size(args.train_batch_size)
+    test_bs = host_batch_size(args.test_batch_size)
     if args.synthetic or not args.data_dir:
         gen = SyntheticCTR(vocab_size=args.vocab_size, seed=args.seed)
-        train_arrays = gen.sample(max(args.steps, 100) * args.train_batch_size // 4, seed=1)
-        test_arrays = gen.sample(20 * args.test_batch_size, seed=2)
-        train_iter = batch_iterator(train_arrays, args.train_batch_size, seed=args.seed, epochs=None)
-        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+        train_arrays = host_local_data(
+            gen.sample(max(args.steps, 100) * args.train_batch_size // 4, seed=1)
+        )
+        test_arrays = host_local_data(gen.sample(20 * args.test_batch_size, seed=2))
+        train_iter = batch_iterator(train_arrays, train_bs, seed=args.seed, epochs=None)
+        eval_iter_fn = lambda: batch_iterator(test_arrays, test_bs, shuffle=False)
     else:
         vocab = load_vocab(args.vocab)
         shards = sorted(glob.glob(f"{args.data_dir}/train*/*.npz") or glob.glob(f"{args.data_dir}/shard_*.npz"))
         test_shards = sorted(glob.glob(f"{args.data_dir}/test*/*.npz"))
-        train_iter = shard_batches(shards, args.train_batch_size, seed=args.seed, epochs=None)
+        if num_hosts > 1:
+            # whole-shard striping: host p streams shards p::N
+            shards = shards[host_id::num_hosts]
+            if not shards:
+                raise SystemExit(
+                    f"host {host_id}: no train shards after {num_hosts}-way "
+                    "striping — need at least one shard per host"
+                )
+        train_iter = shard_batches(shards, train_bs, seed=args.seed, epochs=None)
         test_arrays = load_shards(test_shards) if test_shards else None
+        if test_arrays is not None:
+            test_arrays = host_local_data(test_arrays)
         eval_iter_fn = (
-            (lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False))
+            (lambda: batch_iterator(test_arrays, test_bs, shuffle=False))
             if test_arrays is not None else None
         )
 
@@ -154,7 +180,7 @@ def main(argv=None):
             # resume the data stream where the restored step left off (+1
             # for the example batch init consumed from the fresh stream)
             train_iter = batch_iterator(
-                train_arrays, args.train_batch_size, seed=args.seed,
+                train_arrays, train_bs, seed=args.seed,
                 epochs=None, start_batch=int(state.step) + 1,
             )
 

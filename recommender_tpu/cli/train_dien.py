@@ -11,7 +11,15 @@ from __future__ import annotations
 
 import jax
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
+from recommender_tpu.cli.common import (
+    base_parser,
+    build_mesh,
+    build_trainer,
+    host_batch_size,
+    host_local_data,
+    make_logger,
+    setup_distributed,
+)
 from recommender_tpu.data import amazon
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticSequence
@@ -34,26 +42,33 @@ def main(argv=None):
     p.add_argument("--test_file", type=str, default="")
     p.add_argument("--vocab_dir", type=str, default="")
     args = p.parse_args(argv)
+    host_id, num_hosts = setup_distributed(args)  # before any device use
     log = make_logger(args)
 
     mesh = build_mesh(args)
     need_neg = args.model_type == "DIEN"
 
+    train_bs = host_batch_size(args.train_batch_size)
+    test_bs = host_batch_size(args.test_batch_size)
     if args.synthetic or not args.train_file:
         gen = SyntheticSequence(max_len=args.history_max_length, seed=args.seed)
-        train_arrays = gen.sample(50_000, seed=1)
-        test_arrays = gen.sample(10_000, seed=2)
+        train_arrays = host_local_data(gen.sample(50_000, seed=1))
+        test_arrays = host_local_data(gen.sample(10_000, seed=2))
         item_vocab_size, cat_vocab_size = gen.num_items, gen.num_cats
-        train_iter = batch_iterator(train_arrays, args.train_batch_size, seed=args.seed, epochs=None)
-        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+        train_iter = batch_iterator(train_arrays, train_bs, seed=args.seed, epochs=None)
+        eval_iter_fn = lambda: batch_iterator(test_arrays, test_bs, shuffle=False)
     else:
         if args.vocab_dir:
             iv, cv, i2c = amazon.load_vocab(args.vocab_dir)
         else:
             iv, cv, i2c = amazon.build_vocab(args.train_file)
         i2c_arr = amazon.make_item2cat_array(iv, cv, i2c)
-        train_arrays = amazon.encode_dataset(args.train_file, iv, cv, args.history_max_length)
-        test_arrays = amazon.encode_dataset(args.test_file, iv, cv, args.history_max_length)
+        train_arrays = host_local_data(
+            amazon.encode_dataset(args.train_file, iv, cv, args.history_max_length)
+        )
+        test_arrays = host_local_data(
+            amazon.encode_dataset(args.test_file, iv, cv, args.history_max_length)
+        )
         if need_neg:
             import numpy as np
 
@@ -61,10 +76,10 @@ def main(argv=None):
             test_arrays = amazon.sample_negative_history(test_arrays, len(iv), i2c_arr, rng)
         item_vocab_size, cat_vocab_size = len(iv), len(cv)
         train_iter = amazon.dien_batches(
-            train_arrays, args.train_batch_size, len(iv), i2c_arr,
-            sample_negative=need_neg, seed=args.seed, epochs=None,
+            train_arrays, train_bs, len(iv), i2c_arr,
+            sample_negative=need_neg, seed=args.seed + host_id, epochs=None,
         )
-        eval_iter_fn = lambda: batch_iterator(test_arrays, args.test_batch_size, shuffle=False)
+        eval_iter_fn = lambda: batch_iterator(test_arrays, test_bs, shuffle=False)
 
     import jax.numpy as jnp
 
@@ -86,7 +101,7 @@ def main(argv=None):
             # resume the data stream where the restored step left off (+1
             # for the example batch init consumed from the fresh stream)
             train_iter = batch_iterator(
-                train_arrays, args.train_batch_size, seed=args.seed,
+                train_arrays, train_bs, seed=args.seed,
                 epochs=None, start_batch=int(state.step) + 1,
             )
     state, _ = trainer.fit(

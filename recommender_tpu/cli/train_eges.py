@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
+from recommender_tpu.cli.common import (
+    base_parser,
+    build_mesh,
+    build_trainer,
+    host_batch_size,
+    make_logger,
+    setup_distributed,
+)
 from recommender_tpu.data import amazon_meta
 from recommender_tpu.graph.store import WeightedGraph
 from recommender_tpu.graph.walks import skipgram_batches
@@ -59,6 +66,7 @@ def main(argv=None):
                         "opposite, is strictly worse). 1.0 = reference "
                         "semantics (eges/model.py:58-102).")
     args = p.parse_args(argv)
+    host_id, num_hosts = setup_distributed(args)  # before any device use
     if args.shared_lr_scale != 1.0 and args.model_type != "BGE":
         args.lr_scales = {
             "cat_embedding": args.shared_lr_scale,
@@ -99,11 +107,16 @@ def main(argv=None):
         )
 
     loss_fn, eval_fn = make_skipgram_task(model)
+    # per-host input sharding for sampler-driven streams: every host runs
+    # an iid walk sampler with a distinct seed at global_batch/num_hosts
+    # rows per step (disjoint-by-construction random streams — the walk
+    # analogue of shard_for_host's row striping)
     it = skipgram_batches(
         g, walk_length=args.random_walk_length, window=args.window_size,
-        num_negatives=args.num_negatives, batch_size=args.train_batch_size,
+        num_negatives=args.num_negatives,
+        batch_size=host_batch_size(args.train_batch_size),
         walks_per_round=max(64, args.train_batch_size // 8),
-        side_info=side if use_side else None, seed=args.seed,
+        side_info=side if use_side else None, seed=args.seed + host_id,
     )
     trainer = build_trainer(args, loss_fn, eval_fn, mesh)
     example = next(it)

@@ -9,7 +9,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
+from recommender_tpu.cli.common import (
+    base_parser,
+    build_mesh,
+    build_trainer,
+    host_batch_size,
+    host_local_data,
+    make_logger,
+    setup_distributed,
+)
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticMultiTask
 from recommender_tpu.models.esmm import ESMM, MMOE, MultiTaskBase
@@ -38,6 +46,7 @@ def main(argv=None):
                    help="planner threshold: tables under this many MB stay "
                         "replicated (embedding.planner.plan_tables)")
     args = p.parse_args(argv)
+    host_id, num_hosts = setup_distributed(args)  # before any device use
     log = make_logger(args)
 
     mesh = build_mesh(args)
@@ -52,6 +61,13 @@ def main(argv=None):
         train = dict(np.load(args.train_npz))
         test = dict(np.load(args.test_npz))
         sizes = (train["features"].max(axis=0) + 1).tolist()
+    # per-host input sharding (after vocab sizing, which must see the full
+    # set); batch sizes below become per-host rows of the global batch
+    train = host_local_data(train)
+    test = host_local_data(test)
+    global_train_bs = args.train_batch_size
+    args.train_batch_size = host_batch_size(args.train_batch_size)
+    args.test_batch_size = host_batch_size(args.test_batch_size)
 
     # Per-table layout from the sharding planner: replicate tiny tables,
     # row-shard large ones over the 'model' axis, and take the planner's
@@ -80,7 +96,7 @@ def main(argv=None):
         ]
         plans = plan_tables(
             stats, num_model_shards=args.mesh_model,
-            batch_per_device=args.train_batch_size // ndata,
+            batch_per_device=global_train_bs // ndata,
             replicate_below_bytes=int(args.replicate_below_mb * (1 << 20)),
         )
         # refine each a2a bucket to be lossless on the REAL id stream (the

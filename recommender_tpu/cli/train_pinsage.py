@@ -9,7 +9,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from recommender_tpu.cli.common import base_parser, build_mesh, build_trainer, make_logger
+from recommender_tpu.cli.common import (
+    base_parser,
+    build_mesh,
+    build_trainer,
+    host_batch_size,
+    make_logger,
+    setup_distributed,
+)
 from recommender_tpu.data.movielens import ground_truth_matrix, parse_movielens
 from recommender_tpu.graph.bipartite import BipartiteGraph
 from recommender_tpu.models.pinsage import ItemFeatures, PinSage
@@ -56,6 +63,7 @@ def main(argv=None):
                    help="write a serving bundle (npz) of trained item reprs")
     p.set_defaults(train_batch_size=32)
     args = p.parse_args(argv)
+    host_id, num_hosts = setup_distributed(args)  # before any device use
     log = make_logger(args)
 
     mesh = build_mesh(args)
@@ -79,7 +87,12 @@ def main(argv=None):
         num_neighbors=args.num_neighbors, num_walks=args.num_random_walks,
         walk_length=args.random_walk_length,
     )
-    it = pinsage_train_batches(g, args.train_batch_size, seed=args.seed, **sampler_kw)
+    # per-host input: each host samples iid blocks with a distinct seed at
+    # global_batch/num_hosts pairs per step (see train_eges)
+    it = pinsage_train_batches(
+        g, host_batch_size(args.train_batch_size),
+        seed=args.seed + host_id, **sampler_kw,
+    )
     trainer = build_trainer(args, loss_fn, None, mesh)
     example = next(it)
     state = trainer.init_state(lambda: init_model(model, example, seed=args.seed))

@@ -29,6 +29,7 @@ from typing import Any, Callable, Iterable, Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -564,6 +565,19 @@ class Trainer:
         the 8192-bin histogram's ≲2e-3 error is the same order as the
         deltas being certified (VERDICT r1 Weak #4)."""
         assert self.eval_fn is not None, "no eval_fn configured"
+        if exact and jax.process_count() > 1:
+            # exact AUC gathers every score to THIS host; a multi-host
+            # global array is not fully addressable here. The streaming
+            # histogram (psum'd in-jit, identical on all hosts) is the
+            # multi-host metric; certify exact numbers single-host.
+            import warnings
+
+            warnings.warn(
+                "evaluate(exact=True) is single-host only; falling back to "
+                "the streaming histogram AUC (multi-host metric)",
+                stacklevel=2,
+            )
+            exact = False
         auc = AUCState.init()
         mloss = MeanState.init()
         acc = MeanState.init()
@@ -577,8 +591,10 @@ class Trainer:
                 state, batch, auc, mloss, acc
             )
             if exact:
-                all_scores.append(jax.device_get(scores))
-                all_labels.append(jax.device_get(labels))
+                # np.asarray, not jax.device_get — the axon-safe fetch
+                # convention (CLAUDE.md: device_get may hang on the relay)
+                all_scores.append(np.asarray(scores))
+                all_labels.append(np.asarray(labels))
             n += 1
         if n == 0:
             raise ValueError(
@@ -592,8 +608,6 @@ class Trainer:
             "eval_batches": n,
         }
         if exact:
-            import numpy as np
-
             from recommender_tpu.core.metrics import exact_auc
 
             out["eval_auc_exact"] = exact_auc(
@@ -603,14 +617,28 @@ class Trainer:
         return out
 
     def put_batch(self, batch):
-        """Shard a host batch over the data axis."""
+        """Shard a host batch over the data axis.
+
+        Multi-process (``jax.distributed``-initialized pods): each process
+        passes only ITS rows of the global batch (global/num_hosts — see
+        ``cli.common.host_batch_size``) and the global array is assembled
+        from per-process local data; collectives then span the pod
+        (core/distributed.py). Single-process: plain sharded device_put.
+        """
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._data_sharding_for(x), np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self._data_sharding_for(x)),
             batch,
         )
 
     def _data_sharding_for(self, x):
-        nd = jnp.asarray(x).ndim
+        nd = np.ndim(x)
         return NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS, *([None] * (nd - 1))))
 
     # ------------------------------------------------------------ checkpoints

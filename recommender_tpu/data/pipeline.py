@@ -90,6 +90,8 @@ class Prefetcher:
                 raise ValueError("pass either `it` or `workers=`, not both")
             its = list(workers)
         else:
+            if it is None:
+                raise ValueError("pass an iterable `it` or `workers=[...]`")
             its = [it]
         self._q: queue.Queue = queue.Queue(maxsize=max(size, len(its)))
         self._stop = threading.Event()

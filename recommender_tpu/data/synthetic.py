@@ -126,14 +126,192 @@ class SyntheticSequence:
 
 
 @dataclasses.dataclass
+class SyntheticInterestDrift:
+    """Behavior sequences whose label depends on the ORDER of the history —
+    the regime the reference's +0.045 DIEN-over-BASE separation rides on
+    (``dien/README.md:19-23``; mechanism ladder ``dien/layers.py:76-204``).
+
+    Each user's interest DRIFTS mid-history: items before a changepoint come
+    from topic A, items after it from topic B (oldest-first, post-padded, so
+    the most recent real item sits at position ``len-1``). The target is
+
+    * **positive** — drawn from the RECENT topic B,
+    * **hard negative** (``hard_neg_frac`` of negatives) — drawn from the
+      STALE topic A: topic-match against the history *bag* is identical to a
+      positive; only the segment's position in time tells them apart,
+    * **easy negative** — drawn from a topic in neither segment.
+
+    Mean pooling (BASE) and attention pooling (DIN) are permutation-invariant
+    in the history, so on hard negatives they are capped at the weak
+    segment-mass signal (the changepoint is uniform in the middle half, so
+    topic-B mass spans 25–75%); a recurrence (DIEN's GRU→AUGRU) can read the
+    order and separate them. Distractor noise (``noise`` per position) is
+    what DIN's attention filters but BASE's mean dilutes — the DIN-over-BASE
+    margin. Expected ordering: BASE < DIN << DIEN, with the DIEN gap set by
+    ``hard_neg_frac``.
+
+    ``oracle_aucs`` computes the two planted ceilings (bag-match vs recency)
+    so tests can certify the mechanism without training anything.
+
+    Items are assigned to topics round-robin (item i>0 → topic (i-1) % P) so
+    sampling vectorizes; categories correlate with topics as in
+    ``SyntheticSequence``. Schema matches ``dien/data_loader.py:35-63``.
+    """
+
+    num_items: int = 20_000
+    num_cats: int = 200
+    max_len: int = 50
+    num_topics: int = 8
+    noise: float = 0.2
+    hard_neg_frac: float = 0.5
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.num_topics >= 3, "easy negatives need a third topic"
+        rng = np.random.default_rng(self.seed)
+        P = self.num_topics
+        self.pool_size = (self.num_items - 1) // P
+        idx = np.arange(self.num_items)
+        self.item_topic = ((idx - 1) % P).astype(np.int32)
+        self.item_topic[0] = -1  # pad row
+        cats_per_topic = max((self.num_cats - 1) // P, 1)
+        self.item_cat = np.clip(
+            1
+            + self.item_topic * cats_per_topic
+            + rng.integers(0, cats_per_topic, size=self.num_items),
+            1,
+            self.num_cats - 1,
+        ).astype(np.int32)
+        self.item_cat[0] = 0
+
+    def _item_from_topic(self, topic, rng):
+        k = rng.integers(0, self.pool_size, size=topic.shape)
+        return (1 + topic + self.num_topics * k).astype(np.int32)
+
+    def sample(self, n: int, seed: int = 1) -> dict:
+        rng = np.random.default_rng(seed)
+        P, T = self.num_topics, self.max_len
+        A = rng.integers(0, P, size=n)
+        B = (A + rng.integers(1, P, size=n)) % P  # drift target, != A
+        ln = rng.integers(T // 2, T + 1, size=n)
+        cut = np.clip(
+            (ln * rng.uniform(0.25, 0.75, size=n)).astype(np.int64), 1, ln - 1
+        )
+        pos_grid = np.arange(T)[None, :]
+        valid = pos_grid < ln[:, None]
+        recent = pos_grid >= cut[:, None]
+        topic_mat = np.where(recent, B[:, None], A[:, None])
+        his_item = self._item_from_topic(topic_mat, rng)
+        distract = rng.random((n, T)) < self.noise
+        his_item = np.where(
+            distract, rng.integers(1, self.num_items, size=(n, T)), his_item
+        )
+        his_item = np.where(valid, his_item, 0).astype(np.int32)
+        his_cat = self.item_cat[his_item]
+
+        label = (rng.random(n) < 0.5).astype(np.float32)
+        hard = rng.random(n) < self.hard_neg_frac
+        # easy-negative topic: uniform over the P-2 topics that are neither A
+        # nor B (order-free insertion trick, valid because A != B)
+        e = rng.integers(0, P - 2, size=n)
+        lo, hi = np.minimum(A, B), np.maximum(A, B)
+        e = e + (e >= lo)
+        e = e + (e >= hi)
+        tgt_topic = np.where(label > 0, B, np.where(hard, A, e))
+        target_item = self._item_from_topic(tgt_topic, rng)
+        target_cat = self.item_cat[target_item]
+
+        neg_item = np.where(
+            valid, rng.integers(1, self.num_items, size=(n, T)), 0
+        ).astype(np.int32)
+        return {
+            "target_item": target_item,
+            "target_cat": target_cat,
+            "pos_his_item": his_item,
+            "pos_his_cat": his_cat,
+            "neg_his_item": neg_item,
+            "neg_his_cat": self.item_cat[neg_item],
+            "label": label,
+        }
+
+    def oracle_aucs(self, batch: dict) -> dict:
+        """AUCs of the two planted-mechanism oracles on a sampled batch.
+
+        * ``bag`` — fraction of (valid) history items whose topic matches the
+          target's: the sufficient statistic any permutation-invariant pooler
+          (BASE's mean, DIN's attention sum) can extract. High on easy
+          negatives, weak on hard ones.
+        * ``recency`` — topic-match fraction of the LAST ``k`` real
+          positions: what an order-aware model reads. Separates hard
+          negatives too.
+
+        The gap between them is the planted DIEN headroom; tests assert it.
+        """
+        his = batch["pos_his_item"]
+        valid = his != 0
+        his_topic = self.item_topic[his]
+        tgt_topic = self.item_topic[batch["target_item"]][:, None]
+        match = (his_topic == tgt_topic) & valid
+        bag = match.sum(1) / np.maximum(valid.sum(1), 1)
+        # last-5-positions match fraction (vectorized tail gather)
+        ln = valid.sum(1)
+        k = 5
+        tail_pos = np.clip(
+            ln[:, None] - 1 - np.arange(k)[None, :], 0, his.shape[1] - 1
+        )
+        tail_match = np.take_along_axis(match, tail_pos, axis=1)
+        recency = tail_match.mean(1)
+        from recommender_tpu.core.metrics import exact_auc
+
+        return {
+            "bag": float(exact_auc(bag.astype(np.float64), batch["label"])),
+            "recency": float(
+                exact_auc(recency.astype(np.float64), batch["label"])
+            ),
+        }
+
+
+@dataclasses.dataclass
 class SyntheticMultiTask:
     """Ali-CCP-like impression records with (click, purchase) labels
-    (``esmm/tfrecord_io.py:116-138`` schema: 18 categorical columns)."""
+    (``esmm/tfrecord_io.py:116-138`` schema: 18 categorical columns).
+
+    Defaults reproduce the easy fully-observed regime (dense small vocabs,
+    ~27% click rate) where any full- or click-space trainer learns the
+    logistic structure. The extra knobs plant the SAMPLE-SELECTION-BIAS
+    regime the ESMM decomposition exists for (``esmm/README.md:17-23``;
+    paper's "data sparsity" + "sample selection bias" claims):
+
+    * ``click_bias`` low (e.g. -2.5) → clicks are a few % of impressions,
+      so a CVR model trained on clicks only (the Base two-model protocol,
+      ``esmm/train.py:14-91``) sees ~20× less data than the impression
+      space it is evaluated on;
+    * ``zipf_a`` > 0 → Zipf id popularity: the long tail of feature values
+      carries real probability mass in impressions but is barely present in
+      the clicked subset, so click-space embeddings are undertrained exactly
+      where the impression-wide CTCVR eval needs them (ESMM's shared
+      embedding trains on ALL impressions through the CTR head);
+    * ``confounding`` > 0 → a latent per-impression ``u ~ N(0,1)`` added to
+      both logits: clicked impressions are tilted toward high ``u``, so
+      ``E[buy | x, click=1] != E[buy | x]`` and the click-space conditional
+      is a non-additive function of both planted scores (learnable only
+      with data the clicked subset doesn't have).
+
+    Note (honest mechanism accounting, r3 cold-start-study style): with an
+    expressive model and infinite clicked data, ``p_ctr(x)·p_cvr_click(x)``
+    converges to the true CTCVR even under confounding — the planted harm
+    is the finite-sample interaction of the three knobs, which is exactly
+    the published mechanism, not a straw man.
+    """
 
     num_feats: int = 18
     vocab_sizes: tuple = ()
     signal: float = 1.6
     seed: int = 0
+    click_bias: float = -1.0
+    buy_bias: float = -1.5
+    confounding: float = 0.0
+    zipf_a: float = 0.0  # 0 = uniform ids; >0 = Zipf popularity
 
     def __post_init__(self):
         if not self.vocab_sizes:
@@ -152,13 +330,26 @@ class SyntheticMultiTask:
 
     def sample(self, n: int, seed: int = 1) -> dict:
         rng = np.random.default_rng(seed)
-        feats = np.stack(
-            [rng.integers(0, v, size=n) for v in self.vocab_sizes], axis=1
-        ).astype(np.int32)
+        if self.zipf_a > 0:
+            feats = np.stack(
+                [rng.zipf(self.zipf_a, size=n) % v for v in self.vocab_sizes],
+                axis=1,
+            ).astype(np.int32)
+        else:
+            feats = np.stack(
+                [rng.integers(0, v, size=n) for v in self.vocab_sizes], axis=1
+            ).astype(np.int32)
         logit_click = sum(
             self._w_click[j][feats[:, j]] for j in range(self.num_feats)
-        ) - 1.0
-        logit_buy = sum(self._w_buy[j][feats[:, j]] for j in range(self.num_feats)) - 1.5
+        ) + self.click_bias
+        logit_buy = (
+            sum(self._w_buy[j][feats[:, j]] for j in range(self.num_feats))
+            + self.buy_bias
+        )
+        if self.confounding > 0:
+            u = rng.normal(0.0, 1.0, size=n).astype(np.float32)
+            logit_click = logit_click + self.confounding * u
+            logit_buy = logit_buy + self.confounding * u
         click = (rng.random(n) < 1 / (1 + np.exp(-logit_click))).astype(np.float32)
         buy_given_click = (rng.random(n) < 1 / (1 + np.exp(-logit_buy))).astype(
             np.float32

@@ -70,6 +70,20 @@ def plan_tables(
             or num_model_shards == 1
             or t.vocab_size % num_model_shards
         ):
+            if size > replicate_below_bytes and num_model_shards > 1:
+                # row-sharding (both the a2a shard_map and device_put with a
+                # NamedSharding) needs vocab % shards == 0; a big table that
+                # misses it replicates on EVERY device — pad the vocab to a
+                # multiple of the mesh at build time to unlock sharding
+                import warnings
+
+                warnings.warn(
+                    f"table {t.name!r} ({size >> 20} MB) replicates on every "
+                    f"device only because vocab_size={t.vocab_size} is not "
+                    f"divisible by {num_model_shards} shards; pad the vocab "
+                    "to a mesh multiple to row-shard it",
+                    stacklevel=2,
+                )
             plans.append(
                 TablePlan(t.name, None, "local", _bytes=size)
             )
@@ -79,12 +93,6 @@ def plan_tables(
         psum_comm = batch_per_device * t.lookups_per_example * t.dim  # per device
         a2a_comm = 2 * n_lookups * t.dim // num_model_shards + n_lookups
         lookup = "all_to_all" if a2a_comm < psum_comm else "psum"
-        # the explicit a2a shard_map needs equal-size shards; GSPMD's
-        # masked-gather+psum pads uneven row counts internally, so a
-        # non-divisible vocab falls back to psum rather than failing at
-        # trace time (embedding/sharded.py::all_to_all_lookup contract)
-        if lookup == "all_to_all" and t.vocab_size % num_model_shards:
-            lookup = "psum"
         cap = 2.0
         if t.id_freq is not None and lookup == "all_to_all":
             # capacity must cover the hottest shard's share of lookups

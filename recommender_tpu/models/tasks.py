@@ -130,8 +130,10 @@ def evaluate_head(trainer, state, batches, head_eval_fn, exact: bool = False):
             state.params, state.model_state, trainer.put_batch(batch), auc
         )
         if exact:
-            all_s.append(np.asarray(_jax.device_get(scores)).reshape(-1))
-            all_l.append(np.asarray(_jax.device_get(labels)).reshape(-1))
+            # np.asarray (not jax.device_get): the documented axon-safe
+            # fetch convention (CLAUDE.md — device_get may hang on the relay)
+            all_s.append(np.asarray(scores).reshape(-1))
+            all_l.append(np.asarray(labels).reshape(-1))
     if exact:
         from recommender_tpu.core.metrics import exact_auc
 
@@ -196,8 +198,9 @@ def link_prediction_auc(
         batch = {k: jnp.asarray(v[s : s + batch_size]) for k, v in triples.items()}
         pos, neg = score(batch)
         if exact:
-            all_pos.append(np.asarray(jax.device_get(pos)))
-            all_neg.append(np.asarray(jax.device_get(neg)))
+            # axon-safe fetch convention (see evaluate_head)
+            all_pos.append(np.asarray(pos))
+            all_neg.append(np.asarray(neg))
         else:
             auc = auc_update(auc, pos, jnp.ones_like(pos))
             auc = auc_update(auc, neg, jnp.zeros_like(neg))
