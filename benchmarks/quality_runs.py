@@ -145,6 +145,48 @@ def run_dien_drift(steps=3000, seeds=(0, 1, 2)):
                auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
 
 
+def run_dien_membership(steps=3000, seeds=(0, 1, 2)):
+    """The DIN-over-BASE link of the ladder (VERDICT r3 #1): fine-grained
+    SET MEMBERSHIP (data/synthetic.py::SyntheticMultiInterest). All three
+    architectures share a perfect membership oracle; BASE is handicapped
+    by its mean-pool bottleneck (mean-readout proxy ~0.65 AUC at 50
+    distinct cats / 18 dims), DIN's per-position target*his product reads
+    membership before the mean dilutes it. Paired with run_dien_drift
+    (which isolates the order link, DIEN >> poolers), the two regimes
+    certify the full BASE < DIN < DIEN mechanism ladder with each link
+    measured in the regime that isolates it."""
+    from recommender_tpu.data.synthetic import SyntheticMultiInterest
+    from recommender_tpu.models.dien import DIEN, DIN, BaseModel
+
+    gen = SyntheticMultiInterest(seed=0)
+    test = gen.sample(50_000, seed=999)
+    report("membership_oracles", **gen.oracle_aucs(test))
+    for name, cls, task in (
+        ("membership_base", BaseModel, make_ctr_task),
+        ("membership_din", DIN, make_ctr_task),
+        ("membership_dien", DIEN, make_aux_loss_task),
+    ):
+        aucs = []
+        for s in seeds:
+            train = gen.sample(400_000, seed=100 + s)
+            model = cls(item_vocab=gen.num_items, cat_vocab=gen.num_cats)
+            loss_fn, eval_fn = task(model)
+            tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                         mesh=mesh1(), eval_fn=eval_fn)
+            state = tr.init_state(
+                lambda: init_model(model, {k: v[:8] for k, v in train.items()}, seed=s)
+            )
+            state, _ = tr.fit(
+                state, batch_iterator(train, 512, epochs=None, seed=s), steps=steps
+            )
+            ev = tr.evaluate(state, batch_iterator(test, 2048, shuffle=False), exact=True)
+            aucs.append(ev["eval_auc_exact"])
+            report(f"{name}_seed{s}", steps=steps, **ev)
+        report(name, steps=steps, auc_mean=float(np.mean(aucs)),
+               auc_band=float(np.max(aucs) - np.min(aucs)),
+               auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
+
+
 def _train_base_protocol(gen, train, test, *, steps, seed=0, batch=1024,
                          lr=1e-3):
     """The reference's headline Base comparison (``esmm/train.py:14-91``):
@@ -395,7 +437,8 @@ def run_pinsage(steps=6000):  # the reference's hit-rate peaks at step 6000
 
 if __name__ == "__main__":
     which = sys.argv[1:] or [
-        "dlrm", "deepfm", "dien", "dien_drift", "esmm", "esmm_bias",
+        "dlrm", "deepfm", "dien", "dien_drift", "dien_membership",
+        "esmm", "esmm_bias",
         "eges", "pinsage",
     ]
     for name in which:

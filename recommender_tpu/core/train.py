@@ -447,8 +447,12 @@ class Trainer:
             model_state=model_state,
         )
         if self._param_shardings is not None:
-            from recommender_tpu.parallel.partitioning import state_shardings
+            from recommender_tpu.parallel.partitioning import (
+                state_shardings,
+                validate_divisibility,
+            )
 
+            validate_divisibility(params, self.mesh)
             shardings = state_shardings(state, self._param_shardings, self.mesh)
             state = jax.device_put(state, shardings)
         else:

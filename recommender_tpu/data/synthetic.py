@@ -272,6 +272,114 @@ class SyntheticInterestDrift:
 
 
 @dataclasses.dataclass
+class SyntheticMultiInterest:
+    """Unordered MULTI-interest histories where the label is fine-grained
+    set membership — the regime that separates DIN from BASE (the middle
+    link of the reference's mechanism ladder, ``dien/layers.py:76-204``).
+
+    Each user follows ``hist_cats`` distinct categories (a random subset of
+    the ``num_cats-1`` real ones), one history item per category. The
+    target is **positive** iff its category is one of the user's — so the
+    permutation-invariant *membership* oracle is a PERFECT classifier
+    (AUC 1.0 for BASE, DIN and DIEN alike; contrast ``SyntheticInterestDrift``
+    where the poolers' ceiling is informational). What separates the
+    architectures is the BOTTLENECK: BASE must detect a 1-of-``hist_cats``
+    component inside a ``cat_dim``-dimensional MEAN, where the other
+    ``hist_cats-1`` embeddings are interference (per-position SNR
+    ~ sqrt(cat_dim)/sqrt(hist_cats) for random tables — well below
+    separability at 50/18); DIN's LocalActivationUnit sees the
+    ``target*his`` elementwise product PER POSITION before pooling
+    (``nn/sequence.py``), so match detection happens before the mean
+    dilutes it. Items round-robin over categories so sampling vectorizes;
+    schema matches ``dien/data_loader.py:35-63`` like the other sequence
+    generators.
+
+    ``oracle_aucs`` reports the membership ceiling (1.0 by construction)
+    and the MEAN-READOUT proxy — AUC of ``e_target · mean(history)`` under
+    a random fixed table — the quantitative form of BASE's handicap.
+    """
+
+    num_items: int = 20_000
+    num_cats: int = 200
+    max_len: int = 50
+    hist_cats: int = 50
+    seed: int = 0
+
+    def __post_init__(self):
+        C = self.num_cats - 1  # real categories (row 0 = pad)
+        assert self.hist_cats <= self.max_len <= C
+        self.items_per_cat = (self.num_items - 1) // C
+        idx = np.arange(self.num_items)
+        self.item_cat = (1 + (idx - 1) % C).astype(np.int32)
+        self.item_cat[0] = 0
+
+    def _item_from_cat(self, cat, rng):
+        """Uniform item within category (cats are 1-based round-robin)."""
+        k = rng.integers(0, self.items_per_cat, size=cat.shape)
+        return ((cat - 1) + (self.num_cats - 1) * k + 1).astype(np.int32)
+
+    def sample(self, n: int, seed: int = 1) -> dict:
+        rng = np.random.default_rng(seed)
+        C, T, K = self.num_cats - 1, self.max_len, self.hist_cats
+        # per-user random permutation of the real cats: first K = the
+        # user's interest set, the rest = the negative pool
+        perm = rng.permuted(
+            np.tile(np.arange(1, C + 1), (n, 1)), axis=1
+        ).astype(np.int32)
+        his_cat = np.zeros((n, T), np.int32)
+        his_cat[:, :K] = perm[:, :K]
+        his_item = np.where(
+            his_cat > 0, self._item_from_cat(his_cat, rng), 0
+        ).astype(np.int32)
+
+        label = (rng.random(n) < 0.5).astype(np.float32)
+        pos_col = rng.integers(0, K, size=n)
+        neg_col = rng.integers(K, C, size=n)
+        rows = np.arange(n)
+        tgt_cat = np.where(label > 0, perm[rows, pos_col], perm[rows, neg_col])
+        target_item = self._item_from_cat(tgt_cat, rng)
+
+        valid = np.arange(T)[None, :] < K
+        neg_item = np.where(
+            valid, rng.integers(1, self.num_items, size=(n, T)), 0
+        ).astype(np.int32)
+        return {
+            "target_item": target_item,
+            "target_cat": tgt_cat.astype(np.int32),
+            "pos_his_item": his_item,
+            "pos_his_cat": his_cat,
+            "neg_his_item": neg_item,
+            "neg_his_cat": self.item_cat[neg_item],
+            "label": label,
+        }
+
+    def oracle_aucs(self, batch: dict, dim: int = 18) -> dict:
+        """Planted ceilings: exact set membership (1.0 by construction —
+        shared by all three architectures) and the mean-readout proxy
+        (``e_tgt · mean(his)`` under a fixed random ``dim``-d table): what a
+        bilinear readout of BASE's pooled representation can see through
+        the interference of the other ``hist_cats-1`` embeddings."""
+        from recommender_tpu.core.metrics import exact_auc
+
+        his_cat = batch["pos_his_cat"]
+        valid = his_cat != 0
+        member = (his_cat == batch["target_cat"][:, None]) & valid
+        membership = member.any(1).astype(np.float64)
+
+        rng = np.random.default_rng(self.seed + 1)
+        table = rng.standard_normal((self.num_cats, dim)) / np.sqrt(dim)
+        table[0] = 0.0
+        pooled = table[his_cat].sum(1) / np.maximum(
+            valid.sum(1, keepdims=True), 1
+        )
+        readout = np.einsum("nd,nd->n", table[batch["target_cat"]], pooled)
+        return {
+            "membership": float(exact_auc(membership, batch["label"])),
+            "mean_readout": float(exact_auc(readout, batch["label"])),
+        }
+
+
+@dataclasses.dataclass
 class SyntheticMultiTask:
     """Ali-CCP-like impression records with (click, purchase) labels
     (``esmm/tfrecord_io.py:116-138`` schema: 18 categorical columns).

@@ -33,6 +33,34 @@ def param_shardings(boxed_params: Any, mesh: Mesh) -> Any:
     return _to_named(param_pspecs(boxed_params), mesh)
 
 
+def validate_divisibility(boxed_params: Any, mesh: Mesh) -> None:
+    """Raise a clear error when a Partitioned param's sharded dim is not
+    divisible by its mesh axis — e.g. restoring a vocab-252 row-sharded
+    table onto ``model=8``. GSPMD would silently pad the shards, and the
+    shard-local lookup/update paths (embedding/sharded.py) would then
+    address phantom rows: a wrong result, not a crash. Checked at
+    ``Trainer.init_state`` so both fresh runs and cross-mesh checkpoint
+    restores fail loudly at state-building time."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        boxed_params, is_leaf=lambda x: isinstance(x, nn.Partitioned)
+    )[0]:
+        if not isinstance(leaf, nn.Partitioned):
+            continue
+        shape = leaf.value.shape
+        for dim, name in enumerate(leaf.names):
+            if name is None:
+                continue
+            axis = mesh.shape[name]
+            if shape[dim] % axis:
+                pstr = jax.tree_util.keystr(path)
+                raise ValueError(
+                    f"param {pstr} dim {dim} (size {shape[dim]}) is sharded "
+                    f"over mesh axis '{name}' (size {axis}) but is not "
+                    f"divisible by it; pad the vocab to a multiple of the "
+                    f"axis size or restore onto a compatible mesh"
+                )
+
+
 def opt_state_shardings(opt_state: Any, params: Any, param_spec: Any, mesh: Mesh) -> Any:
     """Mirror param specs onto every params-shaped subtree of the opt state.
 

@@ -140,6 +140,84 @@ def test_cli_interrupt_resume_matches_uninterrupted(tmp_path, capsys, devices8):
     assert abs(a["eval_auc"] - b["eval_auc"]) < 1e-6
 
 
+def _sharded_trainer(tmp_path, mesh_spec, vocab=256):
+    """DLRM with a row-sharded table on the given mesh, ckpt dir shared."""
+    import jax
+
+    from recommender_tpu.parallel.partitioning import param_shardings
+
+    mesh = make_mesh(MeshSpec(*mesh_spec))
+    gen = SyntheticCTR(vocab_size=vocab, seed=0)
+    train = gen.sample(2048, seed=1)
+    model = DLRM(vocab_size=vocab, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), partition="model")
+    loss_fn, eval_fn = make_ctr_task(model)
+    cfg = TrainConfig(learning_rate=1e-3, log_every=1,
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    example = {k: v[:8] for k, v in train.items()}
+    variables = model.init(jax.random.PRNGKey(0), example)
+    pshard = param_shardings(variables["params"], mesh)
+    tr = Trainer(loss_fn, cfg, mesh=mesh, param_shardings=pshard, eval_fn=eval_fn)
+    return tr, model, example, train
+
+
+def test_restore_across_meshes(tmp_path, devices8):
+    """Cross-topology restore (VERDICT r3 #5): save a row-sharded state on a
+    (2,4) mesh, restore onto (1,8), (4,2) and the trivial (8,1) — orbax
+    ``StandardRestore`` reshards onto the target state's shardings — and
+    training continues matching the uninterrupted same-mesh run. Loss
+    trajectories agree to float tolerance only (mesh shape changes the
+    psum/reduction order), which is the documented contract; the restored
+    ARRAYS are bit-equal."""
+    import jax
+
+    def _unbox(x):
+        return x.value if hasattr(x, "value") else x
+
+    tr0, model, example, train = _sharded_trainer(tmp_path, (2, 4))
+    state = tr0.init_state(lambda: init_model(model, example))
+    state, _ = tr0.fit(state, batch_iterator(train, 256, seed=0, epochs=None),
+                       steps=3, prefetch=0)
+    tr0.save(state)
+    table0 = np.asarray(_unbox(state.params["embedding"]["embedding"]))
+
+    # uninterrupted baseline: 3 more steps on the original mesh
+    it = batch_iterator(train, 256, seed=0, epochs=None, start_batch=3)
+    base_state, base_hist = tr0.fit(state, it, steps=3, prefetch=0)
+    base_losses = [h["loss"] for h in base_hist if "loss" in h]
+
+    for spec, model_axis in (((1, 8), 8), ((4, 2), 2), ((8, 1), 1)):
+        tr, model2, example2, _ = _sharded_trainer(tmp_path, spec)
+        fresh = tr.init_state(lambda: init_model(model2, example2, seed=77))
+        restored = tr.restore(fresh)
+        assert int(restored.step) == 3
+        rtable = _unbox(restored.params["embedding"]["embedding"])
+        np.testing.assert_array_equal(np.asarray(rtable), table0)
+        # restored table lands row-sharded over the TARGET mesh
+        assert rtable.sharding.mesh.shape["model"] == model_axis
+        assert rtable.sharding.spec[0] == "model"
+
+        it2 = batch_iterator(train, 256, seed=0, epochs=None, start_batch=3)
+        _, hist = tr.fit(restored, it2, steps=3, prefetch=0)
+        losses = [h["loss"] for h in hist if "loss" in h]
+        np.testing.assert_allclose(losses, base_losses, rtol=1e-4, atol=1e-6)
+
+
+def test_restore_incompatible_divisibility_raises(tmp_path, devices8):
+    """vocab=252 shards over model=4 (63 rows) but NOT over model=8: the
+    state build on the target mesh fails with a clear error instead of a
+    silently GSPMD-padded wrong result."""
+    import pytest
+
+    tr0, model, example, train = _sharded_trainer(tmp_path, (2, 4), vocab=252)
+    state = tr0.init_state(lambda: init_model(model, example))
+    tr0.save(state)
+
+    tr, model2, example2, _ = _sharded_trainer(tmp_path, (1, 8), vocab=252)
+    with pytest.raises(ValueError, match="not[ \n]+divisible|divisible"):
+        tr.init_state(lambda: init_model(model2, example2))
+
+
 def test_bf16_sr_resume_matches_uninterrupted(tmp_path, devices8):
     """The stochastic-rounding path is resume-safe: SR keys derive from the
     step counter (and the adam_sr count rides the checkpoint), so
