@@ -43,7 +43,7 @@ def main(argv=None):
     p.add_argument("--decay_steps", type=int, default=40000)
     p.add_argument("--early_stop_patience", type=int, default=0,
                    help="stop after N evals without val-AUC improvement")
-    p.add_argument("--lookup_mode", choices=["auto", "gspmd", "a2a"], default="auto",
+    p.add_argument("--lookup_mode", choices=["auto", "gspmd", "psum", "a2a"], default="auto",
                    help="sharded-table exchange (a2a needs --mesh_model > 1); "
                         "auto = planner-chosen by comm volume "
                         "(embedding.planner.plan_tables)")
@@ -135,7 +135,7 @@ def main(argv=None):
             replicate_below_bytes=int(args.replicate_below_mb * (1 << 20)),
         )
         partition = plan.partition
-        lookup_mode = "a2a" if plan.lookup == "all_to_all" else "gspmd"
+        lookup_mode = {"all_to_all": "a2a", "psum": "psum"}.get(plan.lookup, "gspmd")
         if lookup_mode == "a2a" and cap <= 0:
             cap = capacity_factor_from_ids(
                 example["cat_features"], args.mesh_model, args.vocab_size
@@ -152,7 +152,7 @@ def main(argv=None):
                 example["cat_features"], args.mesh_model, args.vocab_size
             )
     lookup_kw = dict(
-        lookup_mode=lookup_mode, mesh=mesh if lookup_mode == "a2a" else None,
+        lookup_mode=lookup_mode, mesh=mesh if lookup_mode in ("a2a", "psum") else None,
         capacity_factor=cap if cap > 0 else 2.0,
         embed_param_dtype=jnp.bfloat16 if args.embed_dtype == "bf16" else jnp.float32,
     )

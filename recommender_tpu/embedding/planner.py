@@ -117,17 +117,23 @@ def module_kwargs(plans: Sequence[TablePlan], mesh=None) -> dict:
     """Render a plan list into model/``FeatureEmbedder`` kwargs — the
     consumer side of the planner loop: ``partition`` (where each table
     lives), ``lookup_modes`` (the planned exchange: 'all_to_all' → the
-    explicit a2a route, else the GSPMD masked-gather+psum), and the
-    skew-aware ``capacity_factors``. ``mesh`` is attached only when some
-    table actually takes the a2a route (it is a static module attribute)."""
+    explicit a2a route; 'psum' → the explicit shard_map masked-gather+psum,
+    whose backward stays shard-local — the GSPMD route's backward
+    replicates the full-table scatter per device, see Embedding.lookup_mode),
+    and the skew-aware ``capacity_factors``. ``mesh`` is attached when some
+    table takes an explicit exchange (it is a static module attribute);
+    without a mesh, planned psum tables fall back to the GSPMD route."""
     lookups = tuple(
-        "a2a" if p.lookup == "all_to_all" else "gspmd" for p in plans
+        {"all_to_all": "a2a", "psum": "psum"}.get(p.lookup, "gspmd")
+        if mesh is not None or p.lookup == "all_to_all"
+        else "gspmd"
+        for p in plans
     )
     return dict(
         partition=tuple(p.partition for p in plans),
         lookup_modes=lookups,
         capacity_factors=tuple(float(p.capacity_factor) for p in plans),
-        mesh=mesh if any(l == "a2a" for l in lookups) else None,
+        mesh=mesh if any(l in ("a2a", "psum") for l in lookups) else None,
     )
 
 

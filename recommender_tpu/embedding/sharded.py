@@ -128,14 +128,31 @@ def _local_masked_lookup(shard: jnp.ndarray, ids: jnp.ndarray, axis: str):
 def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Lookup ``ids`` [...] in a row-sharded ``table`` [V, D] → [..., D].
 
-    Works under jit; differentiable (cotangent scatter-adds into the owning
-    shard only). ``ids`` may have any shape; batch dim sharded over ``data``.
+    Works under jit; differentiable — and this is the point of using it
+    over letting GSPMD compile the gather on a partitioned param: the
+    cotangent scatter-add stays SHARD-LOCAL ([V/m, D] per device, with the
+    per-shard 3-way kernel gate in ``_masked_gather``), whereas XLA's SPMD
+    partitioner cannot row-split a scatter with arbitrary indices and
+    compiles the gspmd route's backward as a REPLICATED full-table scatter
+    on every device (verified from compiled HLO on the 8-device mesh,
+    tests/test_sharded_10m.py::test_psum_lookup_shard_local_backward —
+    [V, 64] padded dest per device vs this path's [V/m, ·]).
+
+    On a ``(data × model)`` mesh the ids stay batch-sharded over ``data``
+    (each data-replica group looks up only its own rows; the table
+    cotangent is psum'd over ``data`` by the shard_map transpose of the
+    replicated-over-data table spec); ids are only replicated when the
+    leading dim doesn't divide the data axis.
     """
+    data = mesh.shape.get(DATA_AXIS, 1)
+    batch_sharded = ids.ndim >= 1 and data > 1 and ids.shape[0] % data == 0
+    ids_spec = P(DATA_AXIS) if batch_sharded else P()
     fn = shard_map(
         partial(_local_masked_lookup, axis=MODEL_AXIS),
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P()),
-        out_specs=P(),
+        in_specs=(P(MODEL_AXIS, None), ids_spec),
+        out_specs=ids_spec,
+        check_vma=False,
     )
     return fn(table, ids)
 

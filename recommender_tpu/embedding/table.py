@@ -10,10 +10,13 @@ Design notes (TPU-first):
 * ``partition="model"`` attaches flax partitioning metadata so the
   parallel rules row-shard the table over the ``model`` mesh axis; under
   ``jit`` XLA/GSPMD then compiles the gather into the canonical
-  masked-local-gather + all-reduce exchange, and the scatter-add gradient
-  lands shard-local. ``recommender_tpu.embedding.sharded`` provides the
-  explicit ``shard_map`` path used when manual control of the collective
-  schedule (or the Pallas kernel) is wanted.
+  masked-local-gather + all-reduce exchange. Its BACKWARD, however, is a
+  replicated full-table scatter per device (the SPMD partitioner cannot
+  row-split a scatter with arbitrary indices — compiled-HLO witness in
+  tests/test_sharded_10m.py), so big sharded tables should take an
+  explicit ``shard_map`` exchange instead: ``lookup_mode="psum"`` (same
+  comm as gspmd, shard-local per-shard-gated backward) or ``"a2a"``
+  (bandwidth-optimal at large batch). The planner picks between them.
 * ``mask_zero`` parity: row 0 is the pad/OOV bucket by convention
   (``dien/model.py:11``, ``eges/data_loader.py:8-9``); masks are computed
   by callers as ``ids != 0`` — the table itself never masks.
@@ -43,18 +46,28 @@ class Embedding(nn.Module):
     features: int
     partition: Optional[str] = None  # None → replicated; "model" → row-sharded
     param_dtype: jnp.dtype = jnp.float32
-    # Sharded-lookup exchange for partitioned tables: "gspmd" (default) lets
-    # XLA compile the gather into masked-local-gather + all-reduce; "a2a"
-    # routes ids to the owning shard and vectors back explicitly
-    # (embedding.sharded.all_to_all_lookup — comm drops from B·F·D to
-    # ≈2·B·F·D/m per device; the planner picks it for large batches).
-    # "a2a" requires ``mesh`` (a static module attribute). Routing buckets
-    # are fixed-size: ids beyond a destination shard's capacity
-    # (``capacity_factor`` × fair share) are served a 0 vector, so size it
-    # for the id-frequency skew you expect (``planner.plan_tables`` computes
-    # a skew-aware value; ``sharded.a2a_overflow_fraction`` measures one).
-    # capacity_factor == num model shards is always lossless (degenerates
-    # to psum-grade communication).
+    # Sharded-lookup exchange for partitioned tables:
+    # * "gspmd" (default): XLA compiles the gather into masked-local-gather
+    #   + all-reduce. CAVEAT: its BACKWARD materializes a replicated
+    #   full-table scatter on every device (the SPMD partitioner cannot
+    #   row-split a scatter with arbitrary indices — verified from compiled
+    #   HLO, tests/test_sharded_10m.py) — fine for small sharded tables,
+    #   wasteful for big ones.
+    # * "psum": the same masked-gather+all-reduce exchange built explicitly
+    #   with shard_map (embedding.sharded.sharded_lookup) — identical comm,
+    #   but the cotangent scatter stays SHARD-LOCAL ([V/m, D] per device)
+    #   with the per-shard 3-way kernel gate. The planner's choice for big
+    #   sharded tables at small batch. Requires ``mesh``.
+    # * "a2a": ids routed to the owning shard and vectors back
+    #   (embedding.sharded.all_to_all_lookup — comm drops from B·F·D to
+    #   ≈2·B·F·D/m per device; the planner picks it for large batches).
+    #   Requires ``mesh``. Routing buckets are fixed-size: ids beyond a
+    #   destination shard's capacity (``capacity_factor`` × fair share) are
+    #   served a 0 vector, so size it for the id-frequency skew you expect
+    #   (``planner.plan_tables`` computes a skew-aware value;
+    #   ``sharded.a2a_overflow_fraction`` measures one). capacity_factor ==
+    #   num model shards is always lossless (degenerates to psum-grade
+    #   communication).
     lookup_mode: str = "gspmd"
     mesh: Optional[object] = None
     capacity_factor: float = 2.0  # jax.sharding.Mesh (hashable, static)
@@ -105,6 +118,15 @@ class Embedding(nn.Module):
                 reduce_fn=jnp.add,
             )
             return vecs
+        if (
+            self.lookup_mode == "psum"
+            and self.partition is not None
+            and self.mesh is not None
+            and self.mesh.shape.get("model", 1) > 1
+        ):
+            from recommender_tpu.embedding.sharded import sharded_lookup
+
+            return sharded_lookup(table, ids, self.mesh)
         # Narrow tables take the custom-VJP lookup (plain gather forward,
         # padded-width scatter backward) when THIS call scatters enough
         # rows that XLA's 4x-slow narrow scatter dominates the padding

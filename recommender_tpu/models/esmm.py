@@ -94,7 +94,7 @@ class FeatureEmbedder(nn.Module):
                 emb = Embedding(
                     v, self.embed_dim, name=f"feat_{j}", partition=per_feat[j],
                     lookup_mode=lookups[j], capacity_factor=float(caps[j]),
-                    mesh=self.mesh if lookups[j] == "a2a" else None,
+                    mesh=self.mesh if lookups[j] in ("a2a", "psum") else None,
                     param_dtype=self.param_dtype,
                 )
                 cols.append(emb(features[:, j]))

@@ -201,6 +201,10 @@ def test_dlrm_a2a_lookup_matches_gspmd(devices8):
 
     np.testing.assert_allclose(losses("a2a"), losses("gspmd"), rtol=1e-4, atol=1e-5)
 
+    # the explicit shard_map psum exchange (shard-local backward) is the
+    # same math again — all three routes interchangeable per table
+    np.testing.assert_allclose(losses("psum"), losses("gspmd"), rtol=1e-4, atol=1e-5)
+
 
 def test_dcn_fold_matches_flat_mesh(devices8):
     """MeshSpec(2, 2, dcn_data=2) (multi-slice growth path) computes the

@@ -34,12 +34,20 @@ def test_module_kwargs_rendering():
     mesh = make_mesh(MeshSpec(2, 4))
     kw = module_kwargs(plans, mesh)
     assert kw["partition"] == (None, "model", "model")
-    assert kw["lookup_modes"] == ("gspmd", "a2a", "gspmd")
+    # planned psum renders as the explicit shard_map exchange (its backward
+    # stays shard-local; the gspmd route's replicates — Embedding.lookup_mode)
+    assert kw["lookup_modes"] == ("gspmd", "a2a", "psum")
     assert kw["capacity_factors"] == (2.0, 3.0, 2.0)
     assert kw["mesh"] is mesh
-    # no a2a table -> mesh not attached (it is a static module attribute)
+    # psum alone still needs the mesh attached
     kw2 = module_kwargs([plans[0], plans[2]], mesh)
-    assert kw2["mesh"] is None
+    assert kw2["lookup_modes"] == ("gspmd", "psum")
+    assert kw2["mesh"] is mesh
+    # without a mesh, planned psum degrades to the gspmd route (a2a keeps
+    # its name for the legacy meshless-render path; Embedding falls back)
+    kw3 = module_kwargs([plans[0], plans[2]])
+    assert kw3["lookup_modes"] == ("gspmd", "gspmd")
+    assert kw3["mesh"] is None
 
 
 def _skewed_batch(rng, n, sizes, hot_feature=0):

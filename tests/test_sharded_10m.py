@@ -136,6 +136,51 @@ def test_backward_gate_native_above_5m(devices8):
     assert (V10M, 64) not in dests, dests
 
 
+def test_psum_lookup_shard_local_backward(devices8):
+    """Why the explicit 'psum' lookup exists (Embedding.lookup_mode): XLA's
+    SPMD partitioner cannot row-split a scatter with arbitrary indices, so
+    the GSPMD route's backward materializes a REPLICATED full-table scatter
+    on every device; the shard_map route keeps it shard-local with the
+    per-shard 3-way kernel gate. Witnessed from the compiled (partitioned)
+    HLO of the table gradient at the real shapes on the (1,8) mesh:
+
+    * gspmd, V=1M  -> replicated padded dest  f32[1000000,64] per device
+    * psum,  V=1M  -> shard-local native      f32[125000,16]  (125k < 300k)
+    * psum,  V=10M -> shard-local padded      f32[1250000,64] (in-window)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recommender_tpu.embedding.table import Embedding
+
+    mesh = make_mesh(MeshSpec(1, 8))
+    B = 2048  # 53k ids >= PADDED_BWD_MIN_IDS
+
+    def scatter_dests(lookup_mode, V):
+        model = Embedding(V, D, partition="model", lookup_mode=lookup_mode,
+                          mesh=mesh if lookup_mode == "psum" else None)
+        tbl_sh = NamedSharding(mesh, P("model", None))
+        params = {"embedding": jax.ShapeDtypeStruct((V, D), jnp.float32,
+                                                    sharding=tbl_sh)}
+        ids = jax.ShapeDtypeStruct((B, 26), jnp.int32)
+        cot = jax.ShapeDtypeStruct((B, 26, D), jnp.float32)
+
+        def loss(p, i, w):
+            return jnp.sum(model.apply({"params": p}, i) * w)
+
+        comp = jax.jit(jax.grad(loss)).lower(params, ids, cot).compile().as_text()
+        return {
+            (int(r.split(",")[0]), int(r.split(",")[1]))
+            for r in re.findall(r"f32\[([\d,]+)\]\{[^}]*\} scatter", comp)
+        }
+
+    # gspmd: replicated full-table padded dest (the global volume gate fires)
+    assert (1_000_000, 64) in scatter_dests("gspmd", 1_000_000)
+    # psum: shard-local, per-shard gate -> native below 300k rows/shard
+    assert scatter_dests("psum", 1_000_000) == {(125_000, 16)}
+    # psum at 10M: per-shard 1.25M rows -> the padded window
+    assert scatter_dests("psum", V10M) == {(1_250_000, 64)}
+
+
 @pytest.mark.slow
 def test_run_one_step_10m_sharded(devices8):
     """The full 10M-vocab config EXECUTES: planner-driven DLRM over the
