@@ -61,22 +61,54 @@ def main():
     print(f"devices: {jax.devices()}")
 
     # ---------------- streaming bandwidth
-    n = 64 * 1024 * 1024  # 256 MB per array
-    a = jnp.asarray(rng.standard_normal(n), jnp.float32)
-    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    n = 128 * 1024 * 1024  # 512 MB per array (amortize dispatch/ramp);
+    # generated ON DEVICE — a host transfer of this size crawls through
+    # the axon relay (CLAUDE.md: ~117 ms sync put + low relay throughput)
+    key = jax.random.PRNGKey(0)
+    a = jax.jit(lambda k: jax.random.normal(k, (n,)))(key)
+    b = jax.jit(lambda k: jax.random.normal(k, (n,)))(jax.random.fold_in(key, 1))
 
     read2 = jax.jit(lambda x, y: jnp.sum(x + y))
-    t = bench_scalar(read2, a, b)
+    t = bench_scalar(read2, a, b, iters=10)
     read_bw = 2 * n * 4 / t
     print(f"read (2-array reduce): {t * 1e3:7.3f} ms  -> {read_bw / 1e9:6.1f} GB/s"
           f"  ({read_bw / SPEC_HBM:.0%} of 819 spec)")
 
     scale = jax.jit(lambda x: x * 1.0000001)
     sumx = jax.jit(jnp.sum)
-    t = bench_chain(scale, a, sumx)
+    t = bench_chain(scale, a, sumx, iters=10)
     copy_bw = 2 * n * 4 / t
     print(f"copy (read+write)    : {t * 1e3:7.3f} ms  -> {copy_bw / 1e9:6.1f} GB/s"
           f"  ({copy_bw / SPEC_HBM:.0%} of 819 spec)")
+
+    # adam-like multi-stream (read grad+param+m+v, write param+m+v — the
+    # table-Adam access pattern, 7 streams of one table):
+    nt = 16 * 1024 * 1024  # 64 MB per stream, 448 MB moved
+    g, p_, m_, v_ = (jax.jit(lambda k: jax.random.normal(k, (nt,)))(
+        jax.random.fold_in(key, 10 + i)) for i in range(4))
+
+    @jax.jit
+    def adamish(g, p_, m_, v_):
+        m2 = 0.9 * m_ + 0.1 * g
+        v2 = 0.999 * v_ + 0.001 * g * g
+        p2 = p_ - 1e-3 * m2 / (jnp.sqrt(v2) + 1e-8)
+        return p2, m2, v2
+
+    def chain(iters=30):
+        nonlocal p_, m_, v_
+        for _ in range(iters):
+            p_, m_, v_ = adamish(g, p_, m_, v_)
+        return p_
+
+    float(jnp.sum(chain(1)[:1]))
+    t0 = time.perf_counter()
+    out = chain()
+    float(jnp.sum(out[:1]))
+    t = (time.perf_counter() - t0) / 30
+    adam_bw = 7 * nt * 4 / t
+    print(f"adam-like 7-stream   : {t * 1e3:7.3f} ms  -> {adam_bw / 1e9:6.1f} GB/s"
+          f"  ({adam_bw / SPEC_HBM:.0%} of 819 spec)")
+    copy_bw = max(copy_bw, read_bw, adam_bw)  # best measured streaming anchor
 
     # ---------------- MXU
     k = 8192
@@ -90,7 +122,7 @@ def main():
 
     # ---------------- random-row gather (D=16, 1M-row table)
     V, D = 1_000_000, 16
-    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    table = jax.jit(lambda k: jax.random.normal(k, (V, D)))(jax.random.fold_in(key, 20))
     print(f"gather rows from {V}x{D} f32 (uniform random ids):")
     best_gather = 0.0
     for n_ids in (213_000, 1_000_000, 4_000_000):
@@ -110,7 +142,8 @@ def main():
     best_scatter = 0.0
     for n_ids in (213_000, 1_000_000):
         ids = jnp.asarray(rng.integers(0, V, n_ids), jnp.int32)
-        upd = jnp.asarray(rng.standard_normal((n_ids, D)), jnp.float32)
+        upd = jax.jit(lambda k: jax.random.normal(k, (n_ids, D)))(
+            jax.random.fold_in(key, 21))
         s = jax.jit(lambda i, u: jnp.sum(padded_scatter_add(i, u, V)[:1, :1]))
         t = bench_scalar(s, ids, upd)
         rate = n_ids / t
@@ -121,7 +154,8 @@ def main():
     # ---------------- native narrow scatter (MMOE regime: 8192 ids, 100k x 18)
     Vm, Dm = 100_000, 18
     idsm = jnp.asarray(rng.integers(0, Vm, 8192), jnp.int32)
-    updm = jnp.asarray(rng.standard_normal((8192, Dm)), jnp.float32)
+    updm = jax.jit(lambda k: jax.random.normal(k, (8192, Dm)))(
+        jax.random.fold_in(key, 22))
     sn = jax.jit(
         lambda i, u: jnp.sum(jnp.zeros((Vm, Dm), jnp.float32).at[i].add(u)[:1, :1])
     )
