@@ -6,7 +6,13 @@ custom-VJP lookup); the dedup variant attaches the per-batch plan
 ops.embedding_kernels.embedding_lookup_dedup. Kernel-level numbers:
 benchmarks/exp_dedup.py.
 
-Run: python benchmarks/exp_dedup_e2e.py [batch] [steps]
+Run: python benchmarks/exp_dedup_e2e.py [batch] [steps] [bf16]
+
+The optional ``bf16`` arg re-runs the comparison with the bf16-stored
+table + auto-SR (the bench.py headline config): at bf16 the step is a
+single fused jit and the padded scatter halves its bytes, so the dedup
+plan's segment-sum overhead competes against a smaller baseline term —
+measured to check whether the r2 f32 verdict (0.92x, dedup off) flips.
 """
 import functools
 import os
@@ -34,8 +40,13 @@ VOCAB = 1_000_000
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    bf16 = "bf16" in sys.argv[3:]
+    import jax.numpy as jnp
+
     mesh = make_mesh(MeshSpec(data=1, model=1))
-    model = DLRM(vocab_size=VOCAB, embed_dim=16)
+    model = DLRM(vocab_size=VOCAB, embed_dim=16,
+                 embed_param_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    print(f"table dtype: {'bf16+SR' if bf16 else 'f32'}")
     gen = SyntheticCTR(vocab_size=VOCAB, seed=0)
     host = gen.sample(batch_size, seed=1)
 

@@ -30,7 +30,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     bundle = load_serving_bundle(args.bundle)
-    n = len(bundle["item_reprs"])
+    n = len(bundle.get("item_reprs", bundle.get("item_reprs_int8", [])))
     if args.all:
         recs = np.concatenate(
             [

@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--meta_file", type=str, default="")
     p.add_argument("--export", type=str, default="",
                    help="write a serving bundle (npz) of trained item embeddings")
+    p.add_argument("--export_int8", action="store_true",
+                   help="quantize the exported corpus to int8 + per-row "
+                        "scales (4x smaller bundle, int8-MXU serving path)")
     p.add_argument("--shared_lr_scale", type=float, default=1.0,
                    help="GES/EGES: multiply the SHARED side tables' (cat, "
                         "brand) post-Adam updates by this factor. Their early "
@@ -140,6 +143,7 @@ def main(argv=None):
         export_serving_bundle(
             args.export, np.asarray(hidden),
             metadata={"model": args.model_type, "embed_dim": args.embedding_size},
+            quantize=args.export_int8,
         )
         log({"exported": args.export})
     if args.checkpoint_dir:

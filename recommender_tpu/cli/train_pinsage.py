@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--export", type=str, default="",
                    help="write a serving bundle (npz) of trained item reprs")
+    p.add_argument("--export_int8", action="store_true",
+                   help="quantize the exported corpus to int8 + per-row "
+                        "scales (4x smaller bundle, int8-MXU serving path)")
     p.set_defaults(train_batch_size=32)
     args = p.parse_args(argv)
     host_id, num_hosts = setup_distributed(args)  # before any device use
@@ -116,6 +119,7 @@ def main(argv=None):
         export_serving_bundle(
             args.export, reprs, nbr, w,
             metadata={"model": "pinsage", "conv_out": args.conv_output_size},
+            quantize=args.export_int8,
         )
         log({"exported": args.export})
     if args.checkpoint_dir:

@@ -28,10 +28,21 @@ def export_serving_bundle(
     neighbor_ids: np.ndarray | None = None,
     neighbor_weights: np.ndarray | None = None,
     metadata: dict | None = None,
+    quantize: bool = False,
 ):
+    """``quantize=True`` stores the corpus int8 + per-row f32 scales
+    (retrieval.quantize) instead of f32 reprs: ~4x smaller bundle and the
+    int8-MXU serving path in ``serve_topk`` (measured throughput/recall in
+    benchmarks/exp_int8_retrieval.py / RESULTS.md r4)."""
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {"item_reprs": np.asarray(item_reprs, np.float32)}
+    if quantize:
+        from recommender_tpu.retrieval.quantize import quantize_reprs
+
+        q, scale = quantize_reprs(item_reprs)
+        arrays = {"item_reprs_int8": q, "item_scale": scale}
+    else:
+        arrays = {"item_reprs": np.asarray(item_reprs, np.float32)}
     if neighbor_ids is not None:
         arrays["neighbor_ids"] = np.asarray(neighbor_ids, np.int32)
         arrays["neighbor_weights"] = np.asarray(neighbor_weights, np.float32)
@@ -48,15 +59,35 @@ def load_serving_bundle(path: str) -> dict:
     return out
 
 
-def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10) -> np.ndarray:
-    """Item-to-item retrieval from an exported bundle: [Q] ids → [Q, k] ids."""
+def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10,
+               exact: bool = False, recall_target: float = 0.95) -> np.ndarray:
+    """Item-to-item retrieval from an exported bundle: [Q] ids → [Q, k] ids.
+
+    Dispatches on the bundle contents: an int8 bundle (``quantize=True``
+    export) scores through the int8-MXU path without dequantizing. The
+    serving default reduction is ``jax.lax.approx_max_k`` (TPU-native
+    partial reduce that fuses into the scoring matmul; 19–23× over the
+    exact sort at V=2M, D=128 — retrieval/quantize.py, RESULTS.md r4);
+    ``exact=True`` restores the full sort (bit-exact order; off-TPU
+    backends compile approx_max_k to the exact reduction anyway)."""
     import jax
     import jax.numpy as jnp
 
+    if "item_reprs_int8" in bundle:
+        from recommender_tpu.retrieval.quantize import topk_quantized
+
+        return topk_quantized(
+            bundle["item_reprs_int8"], bundle["item_scale"],
+            np.asarray(query_item_ids), k=k, exact=exact,
+            recall_target=recall_target,
+        )
     reprs = jnp.asarray(bundle["item_reprs"])
     q = reprs[jnp.asarray(query_item_ids)]
     sim = jnp.matmul(q, reprs.T)
     # mask self-retrieval
     sim = sim.at[jnp.arange(q.shape[0]), jnp.asarray(query_item_ids)].set(-jnp.inf)
-    _, idx = jax.lax.top_k(sim, k)
+    if exact:
+        _, idx = jax.lax.top_k(sim, k)
+    else:
+        _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
     return np.asarray(idx)
