@@ -58,6 +58,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(or JAX_NUM_PROCESSES)")
     p.add_argument("--process_id", type=int, default=-1,
                    help="this process's id (or JAX_PROCESS_ID)")
+    p.add_argument("--log_all_hosts", action="store_true",
+                   help="multi-host: every process logs JSONL (tagged with "
+                        "its process index) instead of process 0 only")
     p.add_argument("--distributed", action="store_true",
                    help="bare jax.distributed.initialize() — TPU-pod "
                         "metadata auto-detection, no explicit coordinator")
@@ -131,7 +134,20 @@ def make_logger(args, prefix: str = ""):
     last step seen. ``prefix`` namespaces the run (TB tag prefix + a
     ``role`` field in the JSONL) — used when one CLI invocation trains
     several models (e.g. the ESMM Base two-model protocol), so their
-    curves don't conflate under identical tags."""
+    curves don't conflate under identical tags.
+
+    Multi-host: only process 0 logs (metrics are psum'd on device, so
+    every process would print IDENTICAL lines — and N processes appending
+    to one TensorBoard event dir would interleave corruptly). Set
+    ``--log_all_hosts`` to debug per-process behavior (JSONL only, each
+    line tagged with its process index)."""
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        if getattr(args, "log_all_hosts", False):
+            pid = {"process": jax.process_index()}
+            return lambda metrics: log_jsonl({**pid, **metrics})
+        return lambda metrics: None
     role = {"role": prefix.rstrip("/")} if prefix else {}
 
     if not getattr(args, "tensorboard_dir", ""):

@@ -76,11 +76,18 @@ def full_corpus_reprs(
     return np.concatenate(out, axis=0)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _topk_scores(query_reprs, item_reprs, seen_mask, k: int):
+@partial(jax.jit, static_argnames=("k", "exact"))
+def _topk_scores(query_reprs, item_reprs, seen_mask, k: int, exact: bool = True):
     sim = jnp.matmul(query_reprs, item_reprs.T)  # [U, V]
     sim = jnp.where(seen_mask, -jnp.inf, sim)
-    _, idx = jax.lax.top_k(sim, k)
+    if exact:
+        _, idx = jax.lax.top_k(sim, k)
+    else:
+        # serving-scale corpora: the TPU partial reduction fuses into the
+        # scoring matmul (19-23x at V=2M - RESULTS.md r4 serving section);
+        # quality evals keep the exact sort so hit-rate numbers are
+        # reduction-independent
+        _, idx = jax.lax.approx_max_k(sim, k, recall_target=0.95)
     return idx
 
 
@@ -91,6 +98,7 @@ def recommend_topk(
     k: int = 10,
     batch_size: int = 1024,
     mesh=None,
+    exact: bool = True,
 ) -> np.ndarray:
     """[U] users' latest item ids → [U, k] recommended items.
 
@@ -124,7 +132,7 @@ def recommend_topk(
         else:
             q = item_reprs[jnp.asarray(latest)]
             mask = jnp.asarray(seen_block, bool)
-        idx = _topk_scores(q, item_reprs, mask, k)
+        idx = _topk_scores(q, item_reprs, mask, k, exact)
         out.append(np.asarray(idx)[:n_real])
     return np.concatenate(out, axis=0)
 
