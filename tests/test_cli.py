@@ -81,6 +81,25 @@ def test_cli_pinsage(capsys, tmp_path):
     assert np.load(all_out)["recommendations"].shape[1] == 2
 
 
+def test_cli_pinsage_int8_export(capsys, tmp_path):
+    """--export_int8: trained corpus quantized at export, served through
+    the int8 dispatch (bundle carries int8 reprs + scales, no f32)."""
+    export = str(tmp_path / "pinsage_q.npz")
+    train_pinsage.main(COMMON + [
+        "--train_batch_size", "16", "--top_k", "5",
+        "--export", export, "--export_int8",
+    ])
+    capsys.readouterr()
+    from recommender_tpu.cli import serve
+    from recommender_tpu.retrieval.export import load_serving_bundle
+
+    b = load_serving_bundle(export)
+    assert "item_reprs" not in b and b["item_reprs_int8"].dtype == np.int8
+    out = serve.main(["--bundle", export, "--items", "0,1", "--top_k", "3"])
+    assert out.shape == (2, 3)
+    assert (out[0] != 0).all() and (out[1] != 1).all()  # self masked
+
+
 def test_cli_predict_from_checkpoint(capsys, tmp_path):
     """Train -> checkpoint -> offline batch prediction (cli/predict.py)."""
     from recommender_tpu.cli import predict
