@@ -431,8 +431,21 @@ def run_pinsage(steps=6000):  # the reference's hit-rate peaks at step 6000
     seen = np.zeros((U, V), bool)
     seen[np.asarray(us), np.asarray(its)] = True
     recs = recommend_topk(reprs, latest, seen, k=10)
-    hr = hit_rate(recs, ground_truth_matrix(test_item, V))
+    gt = ground_truth_matrix(test_item, V)
+    hr = hit_rate(recs, gt)
     report("pinsage", steps=steps, hit_rate_at_10=hr)
+    # serving-quantization task-metric check: same trained reprs, int8
+    # corpus + approx_max_k (the production serving path) — certifies the
+    # 25x serving win is hit-rate-neutral, not just overlap-similar
+    from recommender_tpu.retrieval.quantize import (
+        quantize_reprs,
+        recommend_topk_quantized,
+    )
+
+    qr, sc = quantize_reprs(reprs)
+    recs_q = recommend_topk_quantized(qr, sc, latest, seen, k=10)
+    report("pinsage_int8_serving", steps=steps,
+           hit_rate_at_10=hit_rate(recs_q, gt))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,47 @@ def _scores_int8(q_queries, q_items, item_scale):
     return acc.astype(jnp.float32) * item_scale[None, :]
 
 
+def recommend_topk_quantized(
+    q_items: np.ndarray,
+    item_scale: np.ndarray,
+    latest_items: np.ndarray,
+    seen: "np.ndarray | object",
+    k: int = 10,
+    batch_size: int = 1024,
+    exact: bool = False,
+    recall_target: float = 0.95,
+) -> np.ndarray:
+    """Int8 counterpart of ``retrieval.eval.recommend_topk``: [U] users'
+    latest item ids → [U, k] recommendations, seen items masked, scored
+    from the quantized corpus. Used to certify serving-quantization
+    task-metric neutrality (hit-rate, RESULTS.md r4)."""
+    qi = jnp.asarray(q_items)
+    sc = jnp.asarray(item_scale)
+
+    @jax.jit
+    def run(latest, mask):
+        sim = _scores_int8(qi[latest], qi, sc)
+        sim = jnp.where(mask, -jnp.inf, sim)
+        if exact:
+            _, idx = jax.lax.top_k(sim, k)
+        else:
+            _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
+        return idx
+
+    out = []
+    U = len(latest_items)
+    for s in range(0, U, batch_size):
+        users = slice(s, min(s + batch_size, U))
+        seen_block = seen[users]
+        if hasattr(seen_block, "toarray"):
+            seen_block = seen_block.toarray()
+        out.append(np.asarray(run(
+            jnp.asarray(np.asarray(latest_items[users])),
+            jnp.asarray(np.asarray(seen_block, bool)),
+        )))
+    return np.concatenate(out, axis=0)
+
+
 def topk_quantized(
     q_items: np.ndarray,
     item_scale: np.ndarray,
