@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommender_tpu.retrieval.quantize import _scores_int8, quantize_reprs
+from recommender_tpu.retrieval.quantize import _scores_int8
 
 
 def bench(fn, *args, iters=30):

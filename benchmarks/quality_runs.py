@@ -80,7 +80,6 @@ def run_deepfm(steps=3000):
 
 
 def run_dien(steps=3000):
-    from recommender_tpu.data.amazon import sample_negative_history
     from recommender_tpu.data.synthetic import SyntheticSequence
     from recommender_tpu.models.dien import DIEN, DIN, BaseModel
 
