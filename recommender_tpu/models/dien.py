@@ -48,6 +48,12 @@ class SequenceBase(nn.Module):
     cat_dim: int = 18
     mlp_units: Sequence[int] = (200, 80, 1)
     partition: Optional[str] = None
+    # Sharded-table exchange for partitioned tables ('gspmd'|'psum'|'a2a';
+    # see embedding/table.py::Embedding.lookup_mode — 'psum' keeps the
+    # history scatters shard-local, the gspmd backward replicates them).
+    # 'psum'/'a2a' need ``mesh`` (static module attribute).
+    lookup_mode: str = "gspmd"
+    mesh: Optional[object] = None
     # One gather per table for ALL id sets of the step (target + pos
     # history + neg history concatenated) instead of one per set. Identical
     # math, and on paper one scatter-add backward per table instead of
@@ -68,9 +74,13 @@ class SequenceBase(nn.Module):
     def setup(self):
         self.item_embedding = Embedding(self.item_vocab, self.item_dim,
                                         partition=self.partition,
+                                        lookup_mode=self.lookup_mode,
+                                        mesh=self.mesh,
                                         param_dtype=self.embed_param_dtype)
         self.cat_embedding = Embedding(self.cat_vocab, self.cat_dim,
                                        partition=self.partition,
+                                       lookup_mode=self.lookup_mode,
+                                       mesh=self.mesh,
                                        param_dtype=self.embed_param_dtype)
         self.mlp = MLP(self.mlp_units, final_activation=nn.sigmoid, input_batch_norm=True)
 

@@ -26,10 +26,12 @@ class DeepWalk(nn.Module):
     vocab_size: int
     embed_dim: int = 128
     partition: str | None = None  # 'model' → row-shard the big id tables
+    lookup_mode: str = "gspmd"  # 'psum'/'a2a' need mesh (Embedding.lookup_mode)
+    mesh: object | None = None
 
     def setup(self):
-        self.input_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
-        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.input_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition, lookup_mode=self.lookup_mode, mesh=self.mesh)
+        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition, lookup_mode=self.lookup_mode, mesh=self.mesh)
 
     def get_hidden(self, batch: dict) -> jnp.ndarray:
         return self.input_embedding(batch["target"])
@@ -46,12 +48,14 @@ class GES(nn.Module):
     brand_vocab: int
     embed_dim: int = 128
     partition: str | None = None
+    lookup_mode: str = "gspmd"  # see DeepWalk
+    mesh: object | None = None
 
     def setup(self):
-        self.id_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.id_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition, lookup_mode=self.lookup_mode, mesh=self.mesh)
         self.cat_embedding = Embedding(self.cat_vocab, self.embed_dim)
         self.brand_embedding = Embedding(self.brand_vocab, self.embed_dim)
-        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition)
+        self.output_embedding = Embedding(self.vocab_size, self.embed_dim, partition=self.partition, lookup_mode=self.lookup_mode, mesh=self.mesh)
 
     def side_stack(self, batch: dict) -> jnp.ndarray:
         """[B, 3, D]: id, cat, brand embeddings."""

@@ -57,6 +57,8 @@ class FeatureProjector(nn.Module):
     # the corpus) over the model mesh axis; the year/genre tables are tiny
     # and stay replicated (the planner's replicate-below-threshold call).
     partition: str | None = None
+    lookup_mode: str = "gspmd"  # 'psum'/'a2a' need mesh (Embedding.lookup_mode)
+    mesh: object | None = None
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -76,7 +78,8 @@ class FeatureProjector(nn.Module):
             jnp.sum(multihot, axis=-1, keepdims=True), 1.0
         )
         id_emb = Embedding(
-            f.num_items, self.embed_dim, name="id", partition=self.partition
+            f.num_items, self.embed_dim, name="id", partition=self.partition,
+            lookup_mode=self.lookup_mode, mesh=self.mesh
         )(ids)
         return jnp.concatenate([year_emb, genre_emb, id_emb], axis=-1)
 
@@ -105,10 +108,13 @@ class PinSage(nn.Module):
     conv_out: int = 32
     num_layers: int = 2
     partition: str | None = None  # see FeatureProjector.partition
+    lookup_mode: str = "gspmd"
+    mesh: object | None = None
 
     def setup(self):
         self.projector = FeatureProjector(
-            self.features, self.embed_dim, partition=self.partition
+            self.features, self.embed_dim, partition=self.partition,
+            lookup_mode=self.lookup_mode, mesh=self.mesh,
         )
         self.convs = [
             Convolve(self.conv_hidden, self.conv_out, name=f"conv_{i}")

@@ -206,6 +206,38 @@ def test_dlrm_a2a_lookup_matches_gspmd(devices8):
     np.testing.assert_allclose(losses("psum"), losses("gspmd"), rtol=1e-4, atol=1e-5)
 
 
+def test_dien_psum_lookup_matches_gspmd(devices8):
+    """The sequence family's sharded tables through the explicit shard_map
+    psum exchange (SequenceBase.lookup_mode='psum'): same one-step loss as
+    the GSPMD route on the (2,4) mesh — the exchange knobs added r4 are
+    semantics-preserving for history-shaped [B, T] lookups too."""
+    import numpy as np
+
+    from recommender_tpu.data.synthetic import SyntheticSequence
+    from recommender_tpu.models.dien import DIEN
+
+    mesh = make_mesh(MeshSpec(2, 4))
+    gen = SyntheticSequence(num_items=128, num_cats=16, max_len=8, seed=0)
+    batch = gen.sample(16, seed=1)
+
+    def one_step_loss(lookup_mode):
+        model = DIEN(item_vocab=128, cat_vocab=16, item_dim=8, cat_dim=8,
+                     mlp_units=(16, 1), extract_hidden=8, evolve_hidden=8,
+                     partition="model", lookup_mode=lookup_mode,
+                     mesh=mesh if lookup_mode != "gspmd" else None)
+        loss_fn = make_aux_loss_task(model)[0]
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        pshard = param_shardings(variables["params"], mesh)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3), mesh=mesh,
+                     param_shardings=pshard)
+        state = tr.init_state(lambda: init_model(model, batch))
+        _, metrics = tr._train_step(state, tr.put_batch(batch), jax.random.PRNGKey(0))
+        return float(metrics["loss"])
+
+    np.testing.assert_allclose(one_step_loss("psum"), one_step_loss("gspmd"),
+                               rtol=1e-5)
+
+
 def test_dcn_fold_matches_flat_mesh(devices8):
     """MeshSpec(2, 2, dcn_data=2) (multi-slice growth path) computes the
     SAME training trajectory as the flat (4, 2) mesh — the slice axis only
