@@ -81,8 +81,13 @@ def predict_bytes(strategy: str, B: int, m: int, d: int, D: int, V: int,
     if strategy in ("gspmd", "psum"):
         # fwd: every model shard contributes a masked [B/d, F, D]; psum over m.
         # bwd: the cotangent arrives replicated over model (transpose of a
-        # psum is identity into each shard) — no second model collective;
-        # the table grad stays shard-local.
+        # psum is identity into each shard) — no second model collective.
+        # WIRE bytes are identical for the gspmd and explicit-psum routes;
+        # they differ in per-device COMPUTE: the shard_map psum backward
+        # scatters shard-local [V/m, D], while the GSPMD route's backward
+        # materializes a replicated full-table scatter per device (r4
+        # compiled-HLO finding, tests/test_sharded_10m.py) — which is why
+        # the planner renders 'psum' for big sharded tables.
         out["fwd_model_allreduce"] = 2 * act * (m - 1) / m
         out["bwd_model"] = 0.0
     elif strategy == "a2a":

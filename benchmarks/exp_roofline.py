@@ -120,6 +120,20 @@ def main():
     print(f"bf16 matmul {k}x{k}  : {t * 1e3:7.3f} ms  -> {flops / 1e12:6.1f} TFLOP/s"
           f"  ({flops / SPEC_BF16:.0%} of 197 spec)")
 
+    # int8 requantizing chain — the serving-path MXU ceiling (v5e spec 394)
+    w8 = jax.jit(lambda k_: jax.random.randint(
+        k_, (k, k), -127, 128, dtype=jnp.int32).astype(jnp.int8))(key)
+    z8 = jax.jit(lambda k_: jax.random.randint(
+        k_, (k, k), -127, 128, dtype=jnp.int32).astype(jnp.int8))(
+        jax.random.fold_in(key, 30))
+    mm8 = jax.jit(lambda x: jnp.clip(jax.lax.dot_general(
+        x, w8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) >> 8, -127, 127).astype(jnp.int8))
+    t = bench_chain(mm8, z8, lambda x: jnp.sum(x.astype(jnp.float32)))
+    tops = 2 * k**3 / t
+    print(f"int8 matmul {k}x{k}  : {t * 1e3:7.3f} ms  -> {tops / 1e12:6.1f} TOPS"
+          f"  ({tops / 394e12:.0%} of 394 spec)")
+
     # ---------------- random-row gather (D=16, 1M-row table)
     V, D = 1_000_000, 16
     table = jax.jit(lambda k: jax.random.normal(k, (V, D)))(jax.random.fold_in(key, 20))
