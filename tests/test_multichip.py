@@ -319,3 +319,40 @@ def test_dlrm_bf16_sr_multichip(devices8):
     mu = state.opt_state[0].mu["embedding"]["embedding"]
     mu_leaf = mu.value if hasattr(mu, "value") else mu
     assert mu_leaf.dtype == jnp.bfloat16
+
+
+def test_dlrm_bf16_sr_psum_lookup_multichip(devices8):
+    """bf16+SR ALSO composes with the explicit shard_map psum exchange
+    (the r4 production route for big sharded tables): the bf16 shard
+    gathers/scatters inside shard_map, SR writes land on the sharded
+    param, training stays finite and learns."""
+    import jax.numpy as jnp
+
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dlrm import DLRM
+
+    gen = SyntheticCTR(vocab_size=256, seed=0)
+    batch = gen.sample(32, seed=1)
+    mesh = make_mesh(MeshSpec(2, 4))
+    model = DLRM(vocab_size=256, embed_dim=8, bottom_units=(16, 8),
+                 top_units=(16, 1), partition="model",
+                 lookup_mode="psum", mesh=mesh,
+                 embed_param_dtype=jnp.bfloat16)
+    loss_fn, _ = make_ctr_task(model)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pshard = param_shardings(variables["params"], mesh)
+    trainer = Trainer(loss_fn, TrainConfig(learning_rate=1e-2), mesh=mesh,
+                      param_shardings=pshard)
+    state = trainer.init_state(lambda: init_model(model, batch))
+    assert trainer._sr_apply
+    dev_batch = trainer.put_batch(batch)
+    losses = []
+    for _ in range(5):
+        state, metrics = trainer._train_step(state, dev_batch, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    emb = state.params["embedding"]["embedding"]
+    leaf = emb.value if hasattr(emb, "value") else emb
+    assert leaf.dtype == jnp.bfloat16
+    assert leaf.sharding.spec[0] == "model"
