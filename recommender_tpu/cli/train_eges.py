@@ -135,13 +135,29 @@ def main(argv=None):
 
         from recommender_tpu.retrieval.export import export_serving_bundle
 
-        all_ids = {"target": jnp.arange(g.num_nodes, dtype=jnp.int32)}
-        if use_side:
-            all_ids["target_cat"] = jnp.asarray(side["cat"])
-            all_ids["target_brand"] = jnp.asarray(side["brand"])
-        hidden = model.apply({"params": state.params}, all_ids, method=model.get_hidden)
+        # chunked corpus export: ONE jitted get_hidden over fixed-size id
+        # blocks (padded tail), results assembled on host — an all-nodes
+        # single apply would materialize [V, 3, D] side stacks (~15 GB at
+        # a 10M vocab); this keeps peak device memory at one block
+        import jax
+
+        block = min(1 << 20, g.num_nodes)
+        hidden_fn = jax.jit(
+            lambda p, b: model.apply({"params": p}, b, method=model.get_hidden)
+        )
+        chunks = []
+        for s0 in range(0, g.num_nodes, block):
+            n = min(block, g.num_nodes - s0)
+            ids = np.arange(s0, s0 + n, dtype=np.int32)
+            pad = block - n
+            ids_p = np.pad(ids, (0, pad))  # pad with node 0 (row-0 bucket)
+            b = {"target": jnp.asarray(ids_p)}
+            if use_side:
+                b["target_cat"] = jnp.asarray(side["cat"][ids_p])
+                b["target_brand"] = jnp.asarray(side["brand"][ids_p])
+            chunks.append(np.asarray(hidden_fn(state.params, b))[:n])
         export_serving_bundle(
-            args.export, np.asarray(hidden),
+            args.export, np.concatenate(chunks, axis=0),
             metadata={"model": args.model_type, "embed_dim": args.embedding_size},
             quantize=args.export_int8,
         )
