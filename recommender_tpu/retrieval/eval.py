@@ -76,10 +76,7 @@ def full_corpus_reprs(
     return np.concatenate(out, axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "exact"))
-def _topk_scores(query_reprs, item_reprs, seen_mask, k: int, exact: bool = True):
-    sim = jnp.matmul(query_reprs, item_reprs.T)  # [U, V]
-    sim = jnp.where(seen_mask, -jnp.inf, sim)
+def _reduce_topk(sim, k: int, exact: bool):
     if exact:
         _, idx = jax.lax.top_k(sim, k)
     else:
@@ -89,6 +86,27 @@ def _topk_scores(query_reprs, item_reprs, seen_mask, k: int, exact: bool = True)
         # reduction-independent
         _, idx = jax.lax.approx_max_k(sim, k, recall_target=0.95)
     return idx
+
+
+@partial(jax.jit, static_argnames=("k", "exact"))
+def _topk_scores(query_reprs, item_reprs, seen_mask, k: int, exact: bool = True):
+    sim = jnp.matmul(query_reprs, item_reprs.T)  # [U, V]
+    sim = jnp.where(seen_mask, -jnp.inf, sim)
+    return _reduce_topk(sim, k, exact)
+
+
+@partial(jax.jit, static_argnames=("k", "exact"))
+def _topk_scores_idmask(query_reprs, item_reprs, seen_ids, k: int,
+                        exact: bool = True):
+    """Seen-exclusion by PADDED ID LISTS ([B, S] int32, pad = -1) instead
+    of a dense [B, V] bool mask — at serving-scale corpora the dense mask
+    is the memory wall (1024 users × 10M items = 10 GB per block), while
+    real per-user histories are a few hundred ids. Pad entries (-1, or any
+    id ≥ V) scatter out of bounds and are dropped."""
+    sim = jnp.matmul(query_reprs, item_reprs.T)  # [B, V]
+    rows = jnp.arange(sim.shape[0])[:, None]
+    sim = sim.at[rows, seen_ids].set(-jnp.inf, mode="drop")
+    return _reduce_topk(sim, k, exact)
 
 
 def recommend_topk(
@@ -102,11 +120,20 @@ def recommend_topk(
 ) -> np.ndarray:
     """[U] users' latest item ids → [U, k] recommended items.
 
-    ``seen``: [U, V] bool (dense or scipy sparse) — items already interacted,
-    excluded from recommendations. ``mesh``: shard the user rows of each
-    scoring batch over the ``data`` axis (items replicated); the tail batch
-    is padded up so it still shards evenly."""
+    ``seen``: items already interacted, excluded from recommendations —
+    EITHER a [U, V] bool matrix (dense or scipy sparse; the quality-eval
+    form) OR a [U, S] int array of PADDED per-user seen-id lists (pad =
+    -1; the serving-scale form — a dense mask block is 10 GB at 1024
+    users × 10M items while real histories are a few hundred ids).
+    ``mesh``: shard the user rows of each scoring batch over the ``data``
+    axis (items replicated); the tail batch is padded up so it still
+    shards evenly."""
     item_reprs = jnp.asarray(item_reprs)
+    id_lists = (
+        hasattr(seen, "dtype")
+        and np.issubdtype(np.asarray(seen).dtype, np.integer)
+        and np.asarray(seen).ndim == 2
+    )
     if mesh is not None:
         item_reprs = jax.device_put(item_reprs, NamedSharding(mesh, P()))
     out = []
@@ -115,9 +142,10 @@ def recommend_topk(
         users = slice(s, min(s + batch_size, U))
         latest = np.asarray(latest_items[users])
         seen_block = seen[users]
-        if hasattr(seen_block, "toarray"):
-            seen_block = seen_block.toarray()
-        seen_block = np.asarray(seen_block, bool)
+        if not id_lists:
+            if hasattr(seen_block, "toarray"):
+                seen_block = seen_block.toarray()
+            seen_block = np.asarray(seen_block, bool)
         n_real = len(latest)
         if mesh is not None:
             ndata = mesh.shape["data"]
@@ -131,8 +159,11 @@ def recommend_topk(
             mask = _data_shard(seen_block, mesh)
         else:
             q = item_reprs[jnp.asarray(latest)]
-            mask = jnp.asarray(seen_block, bool)
-        idx = _topk_scores(q, item_reprs, mask, k, exact)
+            mask = jnp.asarray(seen_block)
+        if id_lists:
+            idx = _topk_scores_idmask(q, item_reprs, mask, k, exact)
+        else:
+            idx = _topk_scores(q, item_reprs, mask.astype(bool), k, exact)
         out.append(np.asarray(idx)[:n_real])
     return np.concatenate(out, axis=0)
 

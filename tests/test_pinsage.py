@@ -138,6 +138,30 @@ def test_pinsage_trains_and_retrieves():
     assert 0.0 <= hr <= 1.0
 
 
+def test_recommend_topk_idlist_mask_matches_dense():
+    """The serving-scale seen form (padded [U, S] id lists, pad -1) gives
+    the SAME recommendations as the dense [U, V] bool mask."""
+    import numpy as np
+
+    from recommender_tpu.retrieval.eval import recommend_topk
+
+    rng = np.random.default_rng(3)
+    U, V, D, S = 64, 200, 16, 12
+    reprs = rng.normal(size=(V, D)).astype(np.float32)
+    latest = rng.integers(0, V, U)
+    dense = np.zeros((U, V), bool)
+    lists = np.full((U, S), -1, np.int32)
+    for u in range(U):
+        ids = rng.choice(V, size=rng.integers(1, S), replace=False)
+        dense[u, ids] = True
+        lists[u, : len(ids)] = ids
+    recs_d = recommend_topk(reprs, latest, dense, k=5, batch_size=17)
+    recs_l = recommend_topk(reprs, latest, lists, k=5, batch_size=17)
+    np.testing.assert_array_equal(recs_d, recs_l)
+    for u in range(U):
+        assert not set(recs_l[u]) & set(lists[u][lists[u] >= 0].tolist())
+
+
 def test_movielens_parsing_and_split():
     movies = [
         "1::Toy Story (1995)::Animation|Children's|Comedy",
