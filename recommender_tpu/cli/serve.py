@@ -31,6 +31,14 @@ def main(argv=None):
 
     bundle = load_serving_bundle(args.bundle)
     n = len(bundle.get("item_reprs", bundle.get("item_reprs_int8", [])))
+    # device-resident corpus: jnp.asarray once, so the --all loop's
+    # serve_topk calls reuse the same buffers (re-converting numpy per
+    # batch would re-transfer the corpus through the relay every call)
+    import jax.numpy as jnp
+
+    for key in ("item_reprs", "item_reprs_int8", "item_scale"):
+        if key in bundle:
+            bundle[key] = jnp.asarray(bundle[key])
     if args.all:
         recs = np.concatenate(
             [

@@ -101,12 +101,19 @@ def _topk_scores_idmask(query_reprs, item_reprs, seen_ids, k: int,
     """Seen-exclusion by PADDED ID LISTS ([B, S] int32, pad = -1) instead
     of a dense [B, V] bool mask — at serving-scale corpora the dense mask
     is the memory wall (1024 users × 10M items = 10 GB per block), while
-    real per-user histories are a few hundred ids. Pad entries (-1, or any
-    id ≥ V) scatter out of bounds and are dropped."""
+    real per-user histories are a few hundred ids.
+
+    Exclusion is by candidate OVER-FETCH (k+S) + filtering on the tiny
+    candidate list, never by scattering -inf into the [B, V] score matrix:
+    a scatter there breaks XLA's matmul→reduction fusion and materializes
+    the full score matrix (131 GB at 16k×2M — found by OOM, see
+    retrieval/quantize.py::_drop_excluded)."""
+    from recommender_tpu.retrieval.quantize import _drop_excluded
+
     sim = jnp.matmul(query_reprs, item_reprs.T)  # [B, V]
-    rows = jnp.arange(sim.shape[0])[:, None]
-    sim = sim.at[rows, seen_ids].set(-jnp.inf, mode="drop")
-    return _reduce_topk(sim, k, exact)
+    kk = k + seen_ids.shape[1]
+    idx = _reduce_topk(sim, kk, exact)
+    return _drop_excluded(idx, seen_ids, k)
 
 
 def recommend_topk(

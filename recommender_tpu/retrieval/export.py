@@ -81,13 +81,44 @@ def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10,
             np.asarray(query_item_ids), k=k, exact=exact,
             recall_target=recall_target,
         )
-    reprs = jnp.asarray(bundle["item_reprs"])
-    q = reprs[jnp.asarray(query_item_ids)]
-    sim = jnp.matmul(q, reprs.T)
-    # mask self-retrieval
-    sim = sim.at[jnp.arange(q.shape[0]), jnp.asarray(query_item_ids)].set(-jnp.inf)
-    if exact:
-        _, idx = jax.lax.top_k(sim, k)
-    else:
-        _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
-    return np.asarray(idx)
+    # module-level jit: keeps compilation cached across the cli/serve
+    # --all loop, and avoids eager device math (axon eager ops can hang —
+    # CLAUDE.md); convert the corpus once so looping callers stay resident
+    return np.asarray(_topk_f32(
+        jnp.asarray(bundle["item_reprs"]), jnp.asarray(query_item_ids),
+        k=k, exact=exact, recall_target=recall_target,
+    ))
+
+
+_TOPK_F32 = None  # built on first use (keeps `import export` jax-free)
+
+
+def _topk_f32(reprs, ids, *, k, exact, recall_target):
+    global _TOPK_F32
+    if _TOPK_F32 is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from recommender_tpu.retrieval.quantize import _drop_excluded
+
+        @functools.partial(
+            jax.jit, static_argnames=("k", "exact", "recall_target")
+        )
+        def f(reprs, ids, *, k, exact, recall_target):
+            q = reprs[ids]
+            sim = jnp.matmul(q, reprs.T)
+            # self-exclusion by candidate over-fetch, NOT a score scatter
+            # (which would break the matmul→reduction fusion and
+            # materialize [Q, V] — see quantize._drop_excluded)
+            if exact:
+                _, idx = jax.lax.top_k(sim, k + 1)
+            else:
+                _, idx = jax.lax.approx_max_k(
+                    sim, k + 1, recall_target=recall_target
+                )
+            return _drop_excluded(idx, ids[:, None], k)
+
+        _TOPK_F32 = f
+    return _TOPK_F32(reprs, ids, k=k, exact=exact, recall_target=recall_target)

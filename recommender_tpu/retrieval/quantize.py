@@ -23,6 +23,8 @@ measured in ``tests/test_export.py`` and the v5e throughput win in
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,17 +74,6 @@ def recommend_topk_quantized(
     task-metric neutrality (hit-rate, RESULTS.md r4)."""
     qi = jnp.asarray(q_items)
     sc = jnp.asarray(item_scale)
-
-    @jax.jit
-    def run(latest, mask):
-        sim = _scores_int8(qi[latest], qi, sc)
-        sim = jnp.where(mask, -jnp.inf, sim)
-        if exact:
-            _, idx = jax.lax.top_k(sim, k)
-        else:
-            _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
-        return idx
-
     out = []
     U = len(latest_items)
     for s in range(0, U, batch_size):
@@ -90,11 +81,24 @@ def recommend_topk_quantized(
         seen_block = seen[users]
         if hasattr(seen_block, "toarray"):
             seen_block = seen_block.toarray()
-        out.append(np.asarray(run(
+        out.append(np.asarray(_recommend_int8(
+            qi, sc,
             jnp.asarray(np.asarray(latest_items[users])),
             jnp.asarray(np.asarray(seen_block, bool)),
+            k=k, exact=exact, recall_target=recall_target,
         )))
     return np.concatenate(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
+def _recommend_int8(qi, sc, latest, mask, *, k, exact, recall_target):
+    sim = _scores_int8(qi[latest], qi, sc)
+    sim = jnp.where(mask, -jnp.inf, sim)
+    if exact:
+        _, idx = jax.lax.top_k(sim, k)
+    else:
+        _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
+    return idx
 
 
 def topk_quantized(
@@ -115,19 +119,39 @@ def topk_quantized(
     queries, benchmarks/exp_int8_retrieval.py) at 0.956 end-to-end recall
     vs exact-f32. ``exact=True`` restores ``lax.top_k`` (bit-exact order,
     the quality-eval path)."""
-    qi = jnp.asarray(q_items)
-    sc = jnp.asarray(item_scale)
-    ids = jnp.asarray(query_ids)
+    # module-level jit (statics: k/exact/...) — a per-call closure would
+    # RETRACE on every invocation and re-transfer the corpus; callers that
+    # loop (cli/serve --all) pass device-resident arrays and reuse one
+    # compiled program
+    return np.asarray(_topk_int8(
+        jnp.asarray(q_items), jnp.asarray(item_scale), jnp.asarray(query_ids),
+        k=k, exact=exact, recall_target=recall_target, mask_self=mask_self,
+    ))
 
-    @jax.jit
-    def run(qi, sc, ids):
-        sim = _scores_int8(qi[ids], qi, sc)
-        if mask_self:
-            sim = sim.at[jnp.arange(ids.shape[0]), ids].set(-jnp.inf)
-        if exact:
-            _, idx = jax.lax.top_k(sim, k)
-        else:
-            _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
-        return idx
 
-    return np.asarray(run(qi, sc, ids))
+def _drop_excluded(idx, excluded, k):
+    """[Q, k+pad] candidate ids → first ``k`` per row not in ``excluded``
+    ([Q, E]). Score order is preserved (stable argsort on the keep flag).
+    The SCATTER-free exclusion pattern: masking the [Q, V] score matrix
+    with ``.at[rows, ids].set(-inf)`` breaks XLA's matmul→reduction fusion
+    and materializes the full score matrix (131 GB at Q=16k, V=2M — found
+    by OOM driving cli/serve --all); over-fetching k+E candidates keeps
+    the scoring fused and filters on the tiny candidate list instead."""
+    keep = ~(idx[:, :, None] == excluded[:, None, :]).any(-1)
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    return jnp.take_along_axis(idx, order[:, :k], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "exact", "recall_target", "mask_self")
+)
+def _topk_int8(qi, sc, ids, *, k, exact, recall_target, mask_self):
+    sim = _scores_int8(qi[ids], qi, sc)
+    kk = k + 1 if mask_self else k
+    if exact:
+        _, idx = jax.lax.top_k(sim, kk)
+    else:
+        _, idx = jax.lax.approx_max_k(sim, kk, recall_target=recall_target)
+    if mask_self:
+        idx = _drop_excluded(idx, ids[:, None], k)
+    return idx
