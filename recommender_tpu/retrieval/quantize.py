@@ -71,34 +71,60 @@ def recommend_topk_quantized(
     """Int8 counterpart of ``retrieval.eval.recommend_topk``: [U] users'
     latest item ids → [U, k] recommendations, seen items masked, scored
     from the quantized corpus. Used to certify serving-quantization
-    task-metric neutrality (hit-rate, RESULTS.md r4)."""
+    task-metric neutrality (hit-rate, RESULTS.md r4).
+
+    ``seen``: [U, V] bool (dense/sparse; masked with an elementwise
+    ``where`` — fusion-safe) or padded [U, S] seen-id lists (pad -1; the
+    serving-scale form, excluded by candidate over-fetch)."""
     qi = jnp.asarray(q_items)
     sc = jnp.asarray(item_scale)
+    id_lists = (
+        hasattr(seen, "dtype")
+        and np.issubdtype(np.asarray(seen).dtype, np.integer)
+        and np.asarray(seen).ndim == 2
+    )
     out = []
     U = len(latest_items)
     for s in range(0, U, batch_size):
         users = slice(s, min(s + batch_size, U))
         seen_block = seen[users]
-        if hasattr(seen_block, "toarray"):
-            seen_block = seen_block.toarray()
-        out.append(np.asarray(_recommend_int8(
-            qi, sc,
-            jnp.asarray(np.asarray(latest_items[users])),
-            jnp.asarray(np.asarray(seen_block, bool)),
-            k=k, exact=exact, recall_target=recall_target,
-        )))
+        latest = jnp.asarray(np.asarray(latest_items[users]))
+        if id_lists:
+            idx = _recommend_int8_idmask(
+                qi, sc, latest, jnp.asarray(np.asarray(seen_block)),
+                k=k, exact=exact, recall_target=recall_target,
+            )
+        else:
+            if hasattr(seen_block, "toarray"):
+                seen_block = seen_block.toarray()
+            idx = _recommend_int8(
+                qi, sc, latest, jnp.asarray(np.asarray(seen_block, bool)),
+                k=k, exact=exact, recall_target=recall_target,
+            )
+        out.append(np.asarray(idx))
     return np.concatenate(out, axis=0)
+
+
+def _reduce(sim, kk, exact, recall_target):
+    if exact:
+        _, idx = jax.lax.top_k(sim, kk)
+    else:
+        _, idx = jax.lax.approx_max_k(sim, kk, recall_target=recall_target)
+    return idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
 def _recommend_int8(qi, sc, latest, mask, *, k, exact, recall_target):
     sim = _scores_int8(qi[latest], qi, sc)
-    sim = jnp.where(mask, -jnp.inf, sim)
-    if exact:
-        _, idx = jax.lax.top_k(sim, k)
-    else:
-        _, idx = jax.lax.approx_max_k(sim, k, recall_target=recall_target)
-    return idx
+    sim = jnp.where(mask, -jnp.inf, sim)  # elementwise: fusion-safe
+    return _reduce(sim, k, exact, recall_target)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
+def _recommend_int8_idmask(qi, sc, latest, seen_ids, *, k, exact, recall_target):
+    sim = _scores_int8(qi[latest], qi, sc)
+    idx = _reduce(sim, k + seen_ids.shape[1], exact, recall_target)
+    return _drop_excluded(idx, seen_ids, k)
 
 
 def topk_quantized(

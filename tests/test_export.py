@@ -72,6 +72,32 @@ def test_quantized_bundle_roundtrip_and_recall(tmp_path):
     np.testing.assert_array_equal(recs_q[:, 0] // per, q_ids // per)
 
 
+def test_int8_recommend_idlist_matches_dense():
+    """Int8 recommend path: padded seen-id lists (over-fetch exclusion)
+    give the same output as the dense bool mask."""
+    import numpy as np
+
+    from recommender_tpu.retrieval.quantize import (
+        quantize_reprs,
+        recommend_topk_quantized,
+    )
+
+    rng = np.random.default_rng(5)
+    U, V, D, S = 40, 150, 16, 9
+    reprs = rng.normal(size=(V, D)).astype(np.float32)
+    q, sc = quantize_reprs(reprs)
+    latest = rng.integers(0, V, U)
+    dense = np.zeros((U, V), bool)
+    lists = np.full((U, S), -1, np.int32)
+    for u in range(U):
+        ids = rng.choice(V, size=rng.integers(1, S), replace=False)
+        dense[u, ids] = True
+        lists[u, : len(ids)] = ids
+    recs_d = recommend_topk_quantized(q, sc, latest, dense, k=5, batch_size=16)
+    recs_l = recommend_topk_quantized(q, sc, latest, lists, k=5, batch_size=16)
+    np.testing.assert_array_equal(recs_d, recs_l)
+
+
 def test_quantize_zero_rows():
     from recommender_tpu.retrieval.quantize import quantize_reprs
 
