@@ -44,39 +44,54 @@ def mesh1():
     return make_mesh(MeshSpec(len(jax.devices()), 1))
 
 
-def run_dlrm(steps=3000):
+def _run_ctr_family(name, model_cls, steps, seeds):
+    """Shared CTR quality runner; multi-seed -> per-seed rows + mean/band
+    (the r4 standard: every claim-bearing quality row carries a band)."""
     from recommender_tpu.data.synthetic import SyntheticCTR
+
+    gen = SyntheticCTR(vocab_size=200_000, seed=0)
+    test = gen.sample(100_000, seed=2)
+    aucs = []
+    for s in seeds:
+        train = gen.sample(2_000_000, seed=1 + 1000 * s)
+        model = model_cls(vocab_size=200_000, embed_dim=16)
+        loss_fn, eval_fn = make_ctr_task(model)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        state = tr.init_state(
+            lambda: init_model(model, {k: v[:8] for k, v in train.items()}, seed=s)
+        )
+        t0 = time.perf_counter()
+        state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None, seed=s),
+                          steps=steps)
+        ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False), exact=True)
+        aucs.append(ev["eval_auc_exact"])
+        tag = name if len(seeds) == 1 else f"{name}_seed{s}"
+        report(tag, steps=steps, wall_s=round(time.perf_counter() - t0, 1), **ev)
+    if len(seeds) > 1:
+        report(name, steps=steps, auc_mean=float(np.mean(aucs)),
+               auc_band=float(np.max(aucs) - np.min(aucs)),
+               auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
+
+
+def run_dlrm(steps=3000, seeds=(0,)):
     from recommender_tpu.models.dlrm import DLRM
 
-    gen = SyntheticCTR(vocab_size=200_000, seed=0)
-    train = gen.sample(2_000_000, seed=1)
-    test = gen.sample(100_000, seed=2)
-    model = DLRM(vocab_size=200_000, embed_dim=16)
-    loss_fn, eval_fn = make_ctr_task(model)
-    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
-                 mesh=mesh1(), eval_fn=eval_fn)
-    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
-    t0 = time.perf_counter()
-    state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
-    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False), exact=True)
-    report("dlrm", steps=steps, wall_s=round(time.perf_counter() - t0, 1), **ev)
+    _run_ctr_family("dlrm", DLRM, steps, seeds)
 
 
-def run_deepfm(steps=3000):
-    from recommender_tpu.data.synthetic import SyntheticCTR
+def run_dlrm_band(steps=3000):
+    run_dlrm(steps, seeds=(0, 1, 2))
+
+
+def run_deepfm(steps=3000, seeds=(0,)):
     from recommender_tpu.models.deepfm import DeepFM
 
-    gen = SyntheticCTR(vocab_size=200_000, seed=0)
-    train = gen.sample(2_000_000, seed=1)
-    test = gen.sample(100_000, seed=2)
-    model = DeepFM(vocab_size=200_000, embed_dim=16)
-    loss_fn, eval_fn = make_ctr_task(model)
-    tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
-                 mesh=mesh1(), eval_fn=eval_fn)
-    state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
-    state, _ = tr.fit(state, batch_iterator(train, 4096, epochs=None), steps=steps)
-    ev = tr.evaluate(state, batch_iterator(test, 8192, shuffle=False), exact=True)
-    report("deepfm", steps=steps, **ev)
+    _run_ctr_family("deepfm", DeepFM, steps, seeds)
+
+
+def run_deepfm_band(steps=3000):
+    run_deepfm(steps, seeds=(0, 1, 2))
 
 
 def run_dien(steps=3000):
