@@ -344,7 +344,7 @@ def run_esmm_bias(steps=3000, seeds=(0, 1, 2)):
                ctcvr_auc_band=float(np.max(ct) - np.min(ct)))
 
 
-def run_eges(steps=16000):
+def run_eges(steps=16000, seeds=(0,)):
     # GES/EGES average 3 embeddings into the hidden, splitting the gradient
     # ~1/3 per table — they need ~4x BGE's steps to converge (measured:
     # GES auc 0.72@4k, 0.89@8k, 0.98@12k, 0.99@16k on this graph)
@@ -398,18 +398,26 @@ def run_eges(steps=16000):
             ("eges_damped", EGES(vocab_size=V, cat_vocab=C + 1, brand_vocab=100, embed_dim=64), True, damped),
         ]
     for name, model, use_side, scales in variants:
-        loss_fn, eval_fn = make_skipgram_task(model)
-        it = skipgram_batches(g, batch_size=2048, walks_per_round=256,
-                              side_info=side if use_side else None, seed=0)
-        tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9,
-                                          lr_scales=scales),
-                     mesh=mesh1(), eval_fn=eval_fn)
-        state = tr.init_state(lambda: init_model(model, next(it)))
-        state, _ = tr.fit(state, it, steps=steps)
-        auc = link_prediction_auc(
-            model, state.params, triples_side if use_side else triples
-        )
-        report(name, steps=steps, link_prediction_auc=auc)
+        aucs = []
+        for s_ in seeds:
+            loss_fn, eval_fn = make_skipgram_task(model)
+            it = skipgram_batches(g, batch_size=2048, walks_per_round=256,
+                                  side_info=side if use_side else None, seed=s_)
+            tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9,
+                                              lr_scales=scales),
+                         mesh=mesh1(), eval_fn=eval_fn)
+            state = tr.init_state(lambda: init_model(model, next(it), seed=s_))
+            state, _ = tr.fit(state, it, steps=steps)
+            auc = link_prediction_auc(
+                model, state.params, triples_side if use_side else triples
+            )
+            aucs.append(auc)
+            tag = name if len(seeds) == 1 else f"{name}_seed{s_}"
+            report(tag, steps=steps, link_prediction_auc=auc)
+        if len(seeds) > 1:
+            report(name, steps=steps, auc_mean=float(np.mean(aucs)),
+                   auc_band=float(np.max(aucs) - np.min(aucs)),
+                   auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
 
 
 def run_pinsage(steps=6000, seeds=(0,)):  # the reference's hit-rate peaks at step 6000
@@ -468,6 +476,10 @@ def run_pinsage(steps=6000, seeds=(0,)):  # the reference's hit-rate peaks at st
     recs_q = recommend_topk_quantized(qr, sc, latest, seen, k=10)
     report("pinsage_int8_serving", steps=steps,
            hit_rate_at_10=hit_rate(recs_q, gt))
+
+
+def run_eges_band(steps=16000):
+    run_eges(steps, seeds=(0, 1, 2))
 
 
 def run_pinsage_band(steps=6000):
