@@ -250,33 +250,49 @@ def _train_base_protocol(gen, train, test, *, steps, seed=0, batch=1024,
     return float(cvr_auc), ctcvr_auc
 
 
-def run_esmm(steps=3000):
+def run_esmm(steps=3000, seeds=(0,)):
     from recommender_tpu.data.aliccp import click_only
     from recommender_tpu.data.synthetic import SyntheticMultiTask
     from recommender_tpu.models.esmm import ESMM, MMOE
 
     gen = SyntheticMultiTask(seed=0)
-    train = gen.sample(1_000_000, seed=1)
     test = gen.sample(100_000, seed=2)
-    cvr_auc, ctcvr_auc = _train_base_protocol(gen, train, test, steps=steps)
-    report("esmm_base", steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
+    if len(seeds) == 1:
+        train = gen.sample(1_000_000, seed=1)
+        cvr_auc, ctcvr_auc = _train_base_protocol(gen, train, test, steps=steps)
+        report("esmm_base", steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
     for name, cls in (("esmm", ESMM), ("mmoe", MMOE)):
-        model = cls(vocab_sizes=list(gen.vocab_sizes))
-        loss_fn, eval_fn = make_multitask_task(model)
-        tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
-                     mesh=mesh1(), eval_fn=eval_fn)
-        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in train.items()}))
-        state, _ = tr.fit(state, batch_iterator(train, 1024, epochs=None), steps=steps)
-        clicks = click_only(test)
-        cvr_auc = evaluate_head(
-            tr, state, batch_iterator(clicks, 1024, shuffle=False),
-            make_head_eval(model, "cvr", "purchase"), exact=True,
-        )
-        ctcvr_auc = evaluate_head(
-            tr, state, batch_iterator(test, 4096, shuffle=False),
-            make_head_eval(model, "ctcvr", "purchase"), exact=True,
-        )
-        report(name, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
+        cts = []
+        for s_ in seeds:
+            train = gen.sample(1_000_000, seed=1 + 1000 * s_)
+            model = cls(vocab_sizes=list(gen.vocab_sizes))
+            loss_fn, eval_fn = make_multitask_task(model)
+            tr = Trainer(loss_fn, TrainConfig(learning_rate=1e-3, log_every=10**9),
+                         mesh=mesh1(), eval_fn=eval_fn)
+            state = tr.init_state(
+                lambda: init_model(model, {k: v[:8] for k, v in train.items()}, seed=s_)
+            )
+            state, _ = tr.fit(state, batch_iterator(train, 1024, epochs=None, seed=s_),
+                              steps=steps)
+            clicks = click_only(test)
+            cvr_auc = evaluate_head(
+                tr, state, batch_iterator(clicks, 1024, shuffle=False),
+                make_head_eval(model, "cvr", "purchase"), exact=True,
+            )
+            ctcvr_auc = evaluate_head(
+                tr, state, batch_iterator(test, 4096, shuffle=False),
+                make_head_eval(model, "ctcvr", "purchase"), exact=True,
+            )
+            cts.append(ctcvr_auc)
+            tag = name if len(seeds) == 1 else f"{name}_seed{s_}"
+            report(tag, steps=steps, cvr_auc=cvr_auc, ctcvr_auc=ctcvr_auc)
+        if len(seeds) > 1:
+            report(name, steps=steps, ctcvr_mean=float(np.mean(cts)),
+                   ctcvr_band=float(np.max(cts) - np.min(cts)))
+
+
+def run_esmm_band(steps=3000):
+    run_esmm(steps, seeds=(0, 1, 2))
 
 
 def run_esmm_bias(steps=3000, seeds=(0, 1, 2)):
