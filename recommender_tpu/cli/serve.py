@@ -27,7 +27,15 @@ def main(argv=None):
     ap.add_argument("--top_k", type=int, default=10)
     ap.add_argument("--out", type=str, default="", help="npz output (with --all)")
     ap.add_argument("--batch_size", type=int, default=4096)
+    ap.add_argument("--exact", action="store_true",
+                    help="bit-exact lax.top_k ordering instead of the "
+                         "serving default approx_max_k (advisor r4: "
+                         "deployments must be able to opt back into exact)")
+    ap.add_argument("--recall_target", type=float, default=0.95,
+                    help="approx_max_k per-call recall target (ignored "
+                         "with --exact)")
     args = ap.parse_args(argv)
+    topk_kw = dict(exact=args.exact, recall_target=args.recall_target)
 
     bundle = load_serving_bundle(args.bundle)
     n = len(bundle.get("item_reprs", bundle.get("item_reprs_int8", [])))
@@ -42,7 +50,8 @@ def main(argv=None):
     if args.all:
         recs = np.concatenate(
             [
-                serve_topk(bundle, np.arange(s, min(s + args.batch_size, n)), args.top_k)
+                serve_topk(bundle, np.arange(s, min(s + args.batch_size, n)),
+                           args.top_k, **topk_kw)
                 for s in range(0, n, args.batch_size)
             ],
             axis=0,
@@ -54,7 +63,7 @@ def main(argv=None):
             print(json.dumps({"items": n, "top_k": args.top_k}))
         return recs
     ids = np.array([int(x) for x in args.items.split(",") if x != ""], np.int64)
-    recs = serve_topk(bundle, ids, args.top_k)
+    recs = serve_topk(bundle, ids, args.top_k, **topk_kw)
     for i, r in zip(ids.tolist(), recs.tolist()):
         print(json.dumps({"item": i, "recommendations": r}))
     return recs

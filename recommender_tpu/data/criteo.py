@@ -181,20 +181,58 @@ def load_shards(paths: list[str]) -> dict:
     }
 
 
+def shard_rows(path: str) -> int:
+    """Row count of an npz shard from the ``label.npy`` member's HEADER only
+    (zip central directory + ~128 header bytes — no array decompression;
+    used to fast-forward a resumed stream without loading skipped shards)."""
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        with z.open("label.npy") as f:
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    return int(shape[0])
+
+
 def shard_batches(
-    paths: list[str], batch_size: int, *, shuffle=True, seed=0, epochs=None
+    paths: list[str], batch_size: int, *, shuffle=True, seed=0, epochs=None,
+    start_batch: int = 0,
 ) -> Iterator[dict]:
-    """Stream batches shard-by-shard (bounded memory for the 40M-row set)."""
+    """Stream batches shard-by-shard (bounded memory for the 40M-row set).
+
+    ``start_batch`` fast-forwards the (seed-determined) stream by that many
+    batches — the data-iterator half of checkpoint resume for the REAL-DATA
+    path (VERDICT r4 #2; ``batch_iterator`` has the in-memory counterpart).
+    Skipping is arithmetic: whole skipped shards cost one header read
+    (``shard_rows``) and still consume their per-shard seed draw, the
+    landing shard fast-forwards via ``batch_iterator(start_batch=)`` —
+    so the resumed stream is bit-identical to the uninterrupted one."""
     from recommender_tpu.data.pipeline import batch_iterator
 
     rng = np.random.default_rng(seed)
     epoch = 0
+    rows_cache: dict[str, int] = {}
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
         for pi in order:
-            arrays = dict(np.load(paths[pi]))
+            p = paths[pi]
+            # drawn unconditionally, in visit order — keeps the rng stream
+            # identical whether or not shards are skipped
+            shard_seed = int(rng.integers(1 << 31))
+            if start_batch > 0:
+                if p not in rows_cache:
+                    rows_cache[p] = shard_rows(p)
+                n_batches = rows_cache[p] // batch_size  # drop_remainder
+                if start_batch >= n_batches:
+                    start_batch -= n_batches
+                    continue
+            arrays = dict(np.load(p))
             yield from batch_iterator(
-                arrays, batch_size, shuffle=shuffle, seed=int(rng.integers(1 << 31)),
-                epochs=1,
+                arrays, batch_size, shuffle=shuffle, seed=shard_seed,
+                epochs=1, start_batch=start_batch,
             )
+            start_batch = 0
         epoch += 1

@@ -177,6 +177,44 @@ def prefetch_to_device(
     return Prefetcher(it, size=size, put_fn=put_fn, workers=workers)
 
 
+def interleave_ordered(
+    its: list, size: int = 2, put_fn: Callable = None, start_worker: int = 0,
+) -> Iterator:
+    """DETERMINISTIC round-robin interleave of worker iterators, each
+    prefetched by its own background thread.
+
+    ``Prefetcher(workers=[...])`` interleaves UNORDERED (whoever fills the
+    queue first) — fine for iid sampler streams (PinSage), wrong for a
+    resumable data stream: an unordered merge can never replay
+    bit-identically. This merge yields worker 0, 1, …, W-1, 0, … strictly,
+    so the merged stream is a pure function of the worker streams — and a
+    resumed run reconstructs it exactly by fast-forwarding each worker and
+    starting the rotation at ``start_worker`` (see
+    ``cli/train_ctr.py``'s --prefetch_workers resume arithmetic). Each
+    worker still prefetches ``size`` batches ahead, so host-side shard
+    read + slice parallelize across workers; the rotation blocks only when
+    the NEXT worker's queue is empty.
+
+    A worker that exhausts drops out of the rotation (deterministic,
+    since exhaustion order is); with ``epochs=None`` workers this never
+    happens."""
+    ps = [Prefetcher(it, size=size, put_fn=put_fn) for it in its]
+    n = len(ps)
+    alive = [True] * n
+    i = start_worker % n
+    try:
+        while any(alive):
+            if alive[i]:
+                try:
+                    yield next(ps[i])
+                except StopIteration:
+                    alive[i] = False
+            i = (i + 1) % n
+    finally:
+        for p in ps:
+            p.close()
+
+
 def shard_for_host(arrays: dict, host_id: int, num_hosts: int) -> dict:
     """Deterministic per-host data sharding (replaces
     ``experimental_distribute_dataset``, ``dien/distribute_train.py:190-191``)."""

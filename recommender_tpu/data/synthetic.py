@@ -308,6 +308,11 @@ class SyntheticMultiInterest:
     def __post_init__(self):
         C = self.num_cats - 1  # real categories (row 0 = pad)
         assert self.hist_cats <= self.max_len <= C
+        # hist_cats == C leaves no negative pool (sample's integers(K, C)
+        # raises 'low >= high'); num_items-1 < C gives items_per_cat == 0
+        # and breaks _item_from_cat (advisor r4)
+        assert self.hist_cats < C, "need at least one non-interest category"
+        assert self.num_items - 1 >= C, "need at least one item per category"
         self.items_per_cat = (self.num_items - 1) // C
         idx = np.arange(self.num_items)
         self.item_cat = (1 + (idx - 1) % C).astype(np.int32)

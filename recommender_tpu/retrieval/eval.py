@@ -76,6 +76,38 @@ def full_corpus_reprs(
     return np.concatenate(out, axis=0)
 
 
+def resolve_seen_format(seen, num_items: int, seen_format: str = "auto") -> bool:
+    """True ⇔ ``seen`` is padded per-user id lists, False ⇔ a [U, V] mask.
+
+    ``seen_format='auto'`` sniffs by dtype/ndim ATTRIBUTES (no ``np.asarray``
+    — that would force a full device fetch of a device-resident ``seen``):
+    bool / sparse (``toarray``) → mask; 2-D integer → id lists. A 2-D
+    integer array whose width equals the corpus size is AMBIGUOUS — it
+    could be a 0/1 int mask (accepted pre-r5) or S==V id lists — and is
+    rejected with instructions to pass ``seen_format`` explicitly, instead
+    of being silently reinterpreted (advisor r4 medium finding)."""
+    if seen_format in ("mask", "ids"):
+        return seen_format == "ids"
+    if seen_format != "auto":
+        raise ValueError(f"seen_format must be 'auto'|'mask'|'ids', got {seen_format!r}")
+    if hasattr(seen, "toarray"):  # scipy sparse: always a mask
+        return False
+    dtype = getattr(seen, "dtype", None)
+    ndim = getattr(seen, "ndim", None)
+    if dtype is None or ndim is None:
+        a = np.asarray(seen)
+        dtype, ndim = a.dtype, a.ndim
+        seen = a
+    id_lists = bool(np.issubdtype(dtype, np.integer) and ndim == 2)
+    if id_lists and seen.shape[1] == num_items:
+        raise ValueError(
+            f"ambiguous integer [U, {num_items}] `seen` with width == corpus "
+            "size: could be a 0/1 mask or S==V padded id lists — pass "
+            "seen_format='mask' or seen_format='ids' explicitly"
+        )
+    return id_lists
+
+
 def _reduce_topk(sim, k: int, exact: bool):
     if exact:
         _, idx = jax.lax.top_k(sim, k)
@@ -111,7 +143,10 @@ def _topk_scores_idmask(query_reprs, item_reprs, seen_ids, k: int,
     from recommender_tpu.retrieval.quantize import _drop_excluded
 
     sim = jnp.matmul(query_reprs, item_reprs.T)  # [B, V]
-    kk = k + seen_ids.shape[1]
+    # clamp the over-fetch to the corpus (top_k fails on kk > V for small
+    # corpora / wide histories); k <= V still required — when fewer than k
+    # unseen candidates exist the tail degrades to seen ids (graceful)
+    kk = min(k + seen_ids.shape[1], item_reprs.shape[0])
     idx = _reduce_topk(sim, kk, exact)
     return _drop_excluded(idx, seen_ids, k)
 
@@ -124,6 +159,7 @@ def recommend_topk(
     batch_size: int = 1024,
     mesh=None,
     exact: bool = True,
+    seen_format: str = "auto",
 ) -> np.ndarray:
     """[U] users' latest item ids → [U, k] recommended items.
 
@@ -132,15 +168,13 @@ def recommend_topk(
     form) OR a [U, S] int array of PADDED per-user seen-id lists (pad =
     -1; the serving-scale form — a dense mask block is 10 GB at 1024
     users × 10M items while real histories are a few hundred ids).
+    ``seen_format``: 'mask' | 'ids' | 'auto' (sniff; rejects the ambiguous
+    integer-width-V case — ``resolve_seen_format``).
     ``mesh``: shard the user rows of each scoring batch over the ``data``
     axis (items replicated); the tail batch is padded up so it still
     shards evenly."""
     item_reprs = jnp.asarray(item_reprs)
-    id_lists = (
-        hasattr(seen, "dtype")
-        and np.issubdtype(np.asarray(seen).dtype, np.integer)
-        and np.asarray(seen).ndim == 2
-    )
+    id_lists = resolve_seen_format(seen, item_reprs.shape[0], seen_format)
     if mesh is not None:
         item_reprs = jax.device_put(item_reprs, NamedSharding(mesh, P()))
     out = []

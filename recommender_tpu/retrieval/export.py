@@ -111,12 +111,14 @@ def _topk_f32(reprs, ids, *, k, exact, recall_target):
             sim = jnp.matmul(q, reprs.T)
             # self-exclusion by candidate over-fetch, NOT a score scatter
             # (which would break the matmul→reduction fusion and
-            # materialize [Q, V] — see quantize._drop_excluded)
+            # materialize [Q, V] — see quantize._drop_excluded); clamped
+            # to the corpus so tiny corpora don't fail the reduction
+            kk = min(k + 1, reprs.shape[0])
             if exact:
-                _, idx = jax.lax.top_k(sim, k + 1)
+                _, idx = jax.lax.top_k(sim, kk)
             else:
                 _, idx = jax.lax.approx_max_k(
-                    sim, k + 1, recall_target=recall_target
+                    sim, kk, recall_target=recall_target
                 )
             return _drop_excluded(idx, ids[:, None], k)
 

@@ -67,6 +67,7 @@ def recommend_topk_quantized(
     batch_size: int = 1024,
     exact: bool = False,
     recall_target: float = 0.95,
+    seen_format: str = "auto",
 ) -> np.ndarray:
     """Int8 counterpart of ``retrieval.eval.recommend_topk``: [U] users'
     latest item ids → [U, k] recommendations, seen items masked, scored
@@ -75,14 +76,14 @@ def recommend_topk_quantized(
 
     ``seen``: [U, V] bool (dense/sparse; masked with an elementwise
     ``where`` — fusion-safe) or padded [U, S] seen-id lists (pad -1; the
-    serving-scale form, excluded by candidate over-fetch)."""
+    serving-scale form, excluded by candidate over-fetch).
+    ``seen_format``: 'mask' | 'ids' | 'auto' (sniff; rejects the ambiguous
+    integer-width-V case — ``retrieval.eval.resolve_seen_format``)."""
+    from recommender_tpu.retrieval.eval import resolve_seen_format
+
     qi = jnp.asarray(q_items)
     sc = jnp.asarray(item_scale)
-    id_lists = (
-        hasattr(seen, "dtype")
-        and np.issubdtype(np.asarray(seen).dtype, np.integer)
-        and np.asarray(seen).ndim == 2
-    )
+    id_lists = resolve_seen_format(seen, qi.shape[0], seen_format)
     out = []
     U = len(latest_items)
     for s in range(0, U, batch_size):
@@ -123,7 +124,8 @@ def _recommend_int8(qi, sc, latest, mask, *, k, exact, recall_target):
 @functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
 def _recommend_int8_idmask(qi, sc, latest, seen_ids, *, k, exact, recall_target):
     sim = _scores_int8(qi[latest], qi, sc)
-    idx = _reduce(sim, k + seen_ids.shape[1], exact, recall_target)
+    # clamp the over-fetch to the corpus size (see eval._topk_scores_idmask)
+    idx = _reduce(sim, min(k + seen_ids.shape[1], qi.shape[0]), exact, recall_target)
     return _drop_excluded(idx, seen_ids, k)
 
 
@@ -173,7 +175,7 @@ def _drop_excluded(idx, excluded, k):
 )
 def _topk_int8(qi, sc, ids, *, k, exact, recall_target, mask_self):
     sim = _scores_int8(qi[ids], qi, sc)
-    kk = k + 1 if mask_self else k
+    kk = min(k + 1 if mask_self else k, qi.shape[0])
     if exact:
         _, idx = jax.lax.top_k(sim, kk)
     else:

@@ -61,3 +61,43 @@ def test_shard_roundtrip(tmp_path):
     batches = list(shard_batches(paths, 8, shuffle=False, epochs=1))
     # shards of 10/10/5 rows, batch 8, drop-remainder per shard → 8+8+0
     assert sum(b["label"].shape[0] for b in batches) == 16
+
+
+def test_shard_batches_start_batch_bit_identical(tmp_path):
+    """Resume fast-forward on the ON-DISK stream (VERDICT r4 #2): a stream
+    restarted with start_batch=k yields exactly the batches the original
+    stream yields from position k — across shard boundaries, with shuffle
+    on, and into the second epoch (skipped shards still consume their seed
+    draws, so the rng stream stays aligned)."""
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, rows in enumerate((11, 7, 9)):  # 2+1+2 = 5 batches/epoch at b=4
+        p = tmp_path / f"shard_{i:05d}.npz"
+        np.savez(
+            p,
+            int_features=rng.normal(size=(rows, 3)).astype(np.float32),
+            cat_features=rng.integers(0, 50, (rows, 2)).astype(np.int32),
+            label=rng.random(rows).astype(np.float32),
+        )
+        paths.append(str(p))
+
+    def take(n, **kw):
+        it = shard_batches(paths, 4, seed=5, epochs=None, **kw)
+        return [next(it) for _ in range(n)]
+
+    full = take(12)  # well into epoch 3
+    for k in (0, 1, 2, 3, 5, 7, 11):
+        resumed = take(12 - k, start_batch=k)
+        for a, b in zip(full[k:], resumed):
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_shard_rows_header_only(tmp_path):
+    from recommender_tpu.data.criteo import shard_rows
+
+    p = tmp_path / "s.npz"
+    np.savez(p, int_features=np.zeros((37, 13), np.float32),
+             cat_features=np.zeros((37, 26), np.int32),
+             label=np.zeros(37, np.float32))
+    assert shard_rows(str(p)) == 37

@@ -42,6 +42,30 @@ def test_sharded_lookup_grad_is_scatter_add(devices8):
     np.testing.assert_allclose(g, want, rtol=1e-6)
 
 
+def test_sharded_lookup_grad_batch_sharded_matches_dense(devices8):
+    """data>1 + batch-sharded ids: the table cotangent must psum over the
+    'data' axis in shard_map's transpose (each data replica-group scatters
+    only its own rows). Direct grad-vs-dense assertion pinning that psum
+    independent of any train-loop parity test, so a JAX upgrade changing
+    check_vma transpose semantics fails HERE (advisor r4 low #5)."""
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    t = _table(v=48, d=4)
+    # leading dim 8 divides data=4 → the batch-sharded ids path; duplicate
+    # ids across DIFFERENT data shards so a missing data-psum loses terms
+    ids = np.array([[3, 47], [3, 0], [12, 3], [12, 12],
+                    [5, 5], [3, 41], [0, 0], [47, 12]], np.int32)
+    w = np.arange(1.0, 17.0, dtype=np.float32).reshape(8, 2)
+
+    def loss(tb):
+        e = sharded_lookup(tb, jnp.asarray(ids), mesh)
+        return jnp.sum(e * jnp.asarray(w)[:, :, None])
+
+    g = np.asarray(jax.jit(jax.grad(loss))(shard_table(jnp.asarray(t), mesh)))
+    want = np.zeros_like(t)
+    np.add.at(want, ids.ravel(), w.ravel()[:, None] * np.ones((1, 4), np.float32))
+    np.testing.assert_allclose(g, want, rtol=1e-6)
+
+
 def test_dedup_lookup_matches_take(devices8):
     mesh = make_mesh(MeshSpec(data=2, model=4))
     t = _table(v=32, d=8)

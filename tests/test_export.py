@@ -98,6 +98,115 @@ def test_int8_recommend_idlist_matches_dense():
     np.testing.assert_array_equal(recs_d, recs_l)
 
 
+def test_seen_format_explicit_and_ambiguity_guard():
+    """advisor r4 medium: an integer [U, V] 0/1 mask must not be silently
+    reinterpreted as padded id lists. auto-sniff raises on the ambiguous
+    width==V integer case; seen_format='mask' restores the pre-r5 coercion
+    and matches the bool-mask result."""
+    import pytest
+
+    from recommender_tpu.retrieval.eval import recommend_topk, resolve_seen_format
+
+    rng = np.random.default_rng(7)
+    U, V, D = 12, 60, 8
+    reprs = rng.normal(size=(V, D)).astype(np.float32)
+    latest = rng.integers(0, V, U)
+    mask_bool = rng.random((U, V)) < 0.1
+    mask_int = mask_bool.astype(np.int32)  # the formerly-accepted form
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        recommend_topk(reprs, latest, mask_int, k=5)
+    with pytest.raises(ValueError, match="ambiguous"):
+        resolve_seen_format(mask_int, V)
+
+    recs_b = recommend_topk(reprs, latest, mask_bool, k=5)
+    recs_i = recommend_topk(reprs, latest, mask_int, k=5, seen_format="mask")
+    np.testing.assert_array_equal(recs_b, recs_i)
+    # unambiguous cases still auto-resolve
+    assert resolve_seen_format(mask_bool, V) is False
+    assert resolve_seen_format(np.full((U, 5), -1, np.int32), V) is True
+
+
+def test_overfetch_clamped_to_small_corpus():
+    """k + seen-width > V (small corpus / wide padded histories): the
+    over-fetch clamps to V instead of failing in top_k (advisor r4 low #2),
+    and still excludes every seen id when enough candidates remain."""
+    from recommender_tpu.retrieval.eval import recommend_topk
+    from recommender_tpu.retrieval.quantize import (
+        quantize_reprs,
+        recommend_topk_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    U, V, D, S = 6, 20, 8, 18  # k + S = 23 > V
+    reprs = rng.normal(size=(V, D)).astype(np.float32)
+    latest = rng.integers(0, V, U)
+    lists = np.full((U, S), -1, np.int32)
+    for u in range(U):
+        ids = rng.choice(V, size=4, replace=False)
+        lists[u, :4] = ids
+    recs = recommend_topk(reprs, latest, lists, k=5)
+    assert recs.shape == (U, 5)
+    q, sc = quantize_reprs(reprs)
+    recs_q = recommend_topk_quantized(q, sc, latest, lists, k=5, exact=True)
+    for u in range(U):
+        seen = set(lists[u][lists[u] >= 0].tolist())
+        assert not seen & set(recs[u].tolist())
+        assert not seen & set(recs_q[u].tolist())
+
+    # serve_topk self-exclusion on a tiny corpus (k + 1 > V)
+    b = {"item_reprs": reprs[:4]}
+    recs_s = serve_topk(b, np.arange(4), k=5, exact=True)
+    for i in range(4):
+        assert i not in recs_s[i][:3]  # 3 non-self candidates exist
+
+
+def test_idlist_exclusion_lowering_has_no_scatter():
+    """Fusion witness (VERDICT r4 next-round #6): the 25.3× serving number
+    depends on seen-exclusion staying OVER-FETCH + candidate filtering. The
+    regression mode is scatter-masking the [Q, V] score matrix
+    (``sim.at[rows, ids].set(-inf)``), which breaks XLA's matmul→reduction
+    fusion and re-materializes the score matrix (131 GB OOM at 16k×2M,
+    retrieval/quantize._drop_excluded). A scatter in the LOWERED module is
+    the backend-independent signature of that regression — assert none, on
+    every id-list exclusion path."""
+    import jax.numpy as jnp
+
+    from recommender_tpu.retrieval import eval as reval
+    from recommender_tpu.retrieval import export as rexport
+    from recommender_tpu.retrieval import quantize as rquant
+
+    Q, V, D, S, k = 16, 512, 32, 8, 10
+    q = jnp.zeros((Q, D), jnp.float32)
+    items = jnp.zeros((V, D), jnp.float32)
+    seen = jnp.full((Q, S), -1, jnp.int32)
+    qi = jnp.zeros((V, D), jnp.int8)
+    sc = jnp.ones((V,), jnp.float32)
+    ids = jnp.arange(Q, dtype=jnp.int32)
+
+    lowered = {
+        "f32_idmask": reval._topk_scores_idmask.lower(
+            q, items, seen, k, exact=False
+        ),
+        "int8_idmask": rquant._recommend_int8_idmask.lower(
+            qi, sc, ids, seen, k=k, exact=False, recall_target=0.95
+        ),
+        "int8_self": rquant._topk_int8.lower(
+            qi, sc, ids, k=k, exact=False, recall_target=0.95, mask_self=True
+        ),
+    }
+    rexport._topk_f32(items, np.arange(Q), k=k, exact=False, recall_target=0.95)
+    lowered["f32_self"] = rexport._TOPK_F32.lower(
+        items, ids, k=k, exact=False, recall_target=0.95
+    )
+    for name, lo in lowered.items():
+        text = lo.as_text()
+        assert "scatter" not in text, (
+            f"{name}: scatter in lowered exclusion path — seen-exclusion "
+            "regressed from over-fetch to score-matrix masking"
+        )
+
+
 def test_quantize_zero_rows():
     from recommender_tpu.retrieval.quantize import quantize_reprs
 

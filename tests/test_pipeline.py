@@ -98,3 +98,39 @@ def test_batch_iterator_start_batch_resume():
         np.testing.assert_array_equal(
             np.stack(resumed), np.stack(full[k:]), err_msg=f"start_batch={k}"
         )
+
+
+def test_interleave_ordered_deterministic_and_resumable():
+    """interleave_ordered: strict round-robin (unlike Prefetcher(workers=)'s
+    unordered merge), identical across re-runs, and reconstructable
+    mid-stream by fast-forwarding each worker + rotating the start."""
+    import numpy as np
+
+    from recommender_tpu.data.pipeline import interleave_ordered
+
+    def worker(w, start=0):
+        return iter(range(100 * w + start, 100 * w + 20))
+
+    W = 3
+    merged = list(interleave_ordered([worker(w) for w in range(W)]))
+    # strict rotation: item j comes from worker j % W
+    want = [100 * (j % W) + j // W for j in range(20 * W)]
+    assert merged == want
+    assert merged == list(interleave_ordered([worker(w) for w in range(W)]))
+
+    # resume at global index k: worker w fast-forwards by the count it
+    # already delivered, rotation restarts at k % W (the CLI arithmetic)
+    for k in (1, 4, 7, 38):
+        resumed = list(interleave_ordered(
+            [worker(w, (k - 1 - w) // W + 1 if k > w else 0) for w in range(W)],
+            start_worker=k % W,
+        ))
+        assert resumed == merged[k:], k
+
+
+def test_interleave_ordered_uneven_exhaustion():
+    """A worker that runs dry drops out; the rest keep strict order."""
+    from recommender_tpu.data.pipeline import interleave_ordered
+
+    out = list(interleave_ordered([iter([1, 2]), iter([10, 20, 30, 40])]))
+    assert out == [1, 10, 2, 20, 30, 40]
