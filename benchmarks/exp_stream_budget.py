@@ -27,8 +27,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -63,6 +66,20 @@ def main():
     ap.add_argument("--quick", action="store_true", help="fewer steps")
     ap.add_argument("--data_dir", default="/tmp/stream_shards")
     ap.add_argument("--cpu", action="store_true", help="debug off-TPU")
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="e2e-stage batch size (components always run the "
+                         "headline b8192; b4096 is the relay-stable size "
+                         "from the r4 drive)")
+    ap.add_argument("--stage", default="components",
+                    choices=["components", "e2e_w1", "e2e_w2", "e2e_nopf"],
+                    help="run ONE stage per process: the e2e variants each "
+                         "need fresh relay state (a long in-process mix of "
+                         "puts/steps/threaded reads can poison the axon "
+                         "relay's dispatch path — every later device_put "
+                         "fails INVALID_ARGUMENT; observed r5, logs). "
+                         "Sequential per-stage processes also match real "
+                         "CLI usage. Drive all: for s in components e2e_w1 "
+                         "e2e_w2 e2e_nopf; do python -u ... --stage $s; done")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -87,33 +104,52 @@ def main():
         mb_per_shard=round(SHARD_ROWS * bytes_per_row / 2**20, 1),
         cores=os.cpu_count(), backend=jax.default_backend())
 
-    # ---- 1. shard read ----------------------------------------------------
-    for trial in range(2):  # trial 0 = cold-ish, trial 1 = page-cache warm
-        t0 = time.perf_counter()
-        arrays = dict(np.load(paths[trial % len(paths)]))
-        arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
-        dt = time.perf_counter() - t0
-        log(stage="shard_read", trial=trial, ms=round(dt * 1e3, 1),
-            ms_per_batch=round(dt * 1e3 / (SHARD_ROWS // BATCH), 2),
-            mb_s=round(SHARD_ROWS * bytes_per_row / 2**20 / dt, 1))
-
-    # ---- 2. batch slice ---------------------------------------------------
     n_b = SHARD_ROWS // BATCH
-    t0 = time.perf_counter()
-    batches = list(batch_iterator(arrays, BATCH, seed=0, epochs=1))
-    dt = time.perf_counter() - t0
-    log(stage="batch_slice", ms_per_batch=round(dt * 1e3 / n_b, 2), batches=n_b)
+    host_rate = None
+    if args.stage == "components":
+        # ---- 1. shard read ------------------------------------------------
+        for trial in range(2):  # trial 0 = cold-ish, trial 1 = page-cache warm
+            t0 = time.perf_counter()
+            arrays = dict(np.load(paths[trial % len(paths)]))
+            arrays = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
+            dt = time.perf_counter() - t0
+            log(stage="shard_read", trial=trial, ms=round(dt * 1e3, 1),
+                ms_per_batch=round(dt * 1e3 / (SHARD_ROWS // BATCH), 2),
+                mb_s=round(SHARD_ROWS * bytes_per_row / 2**20 / dt, 1))
 
-    # ---- 3. host-only stream ----------------------------------------------
-    it = shard_batches(paths, BATCH, seed=0, epochs=None)
-    next(it)  # prime (first shard load)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        next(it)
-    dt = time.perf_counter() - t0
-    host_rate = BATCH * steps / dt
-    log(stage="host_stream", ms_per_batch=round(dt * 1e3 / steps, 2),
-        rows_per_s=round(host_rate))
+        # ---- 2. batch slice -----------------------------------------------
+        t0 = time.perf_counter()
+        batches = list(batch_iterator(arrays, BATCH, seed=0, epochs=1))
+        dt = time.perf_counter() - t0
+        log(stage="batch_slice", ms_per_batch=round(dt * 1e3 / n_b, 2), batches=n_b)
+
+        # ---- 3. host-only stream (1 and 2 read workers) --------------------
+        it = shard_batches(paths, BATCH, seed=0, epochs=None)
+        next(it)  # prime (first shard load)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            next(it)
+        dt = time.perf_counter() - t0
+        host_rate = BATCH * steps / dt
+        log(stage="host_stream", ms_per_batch=round(dt * 1e3 / steps, 2),
+            rows_per_s=round(host_rate))
+        # window must span several shard loads per worker (61 batches/shard)
+        # or it only measures draining pre-loaded slices
+        n_w2 = steps * 4
+        it2 = interleave_ordered(
+            [shard_batches(paths[w::2], BATCH, seed=6 + w, epochs=None)
+             for w in range(2)], size=2)
+        next(it2)
+        t0 = time.perf_counter()
+        for _ in range(n_w2):
+            next(it2)
+        dt = time.perf_counter() - t0
+        log(stage="host_stream_w2", ms_per_batch=round(dt * 1e3 / n_w2, 2),
+            rows_per_s=round(BATCH * n_w2 / dt), batches=n_w2)
+    else:
+        batches = list(batch_iterator(
+            dict(np.load(paths[0])), args.batch, seed=0, epochs=1))
+    bs = args.batch
 
     # ---- model + trainer (bench.py production config) ---------------------
     mesh = make_mesh(MeshSpec(data=len(jax.devices()), model=1))
@@ -130,7 +166,68 @@ def main():
     def touch(b):  # forces the put to fully materialize on device
         return sum(jnp.sum(v) for v in b.values())
 
-    # ---- 4. h2d put -------------------------------------------------------
+    rng = jax.random.PRNGKey(0)
+    resident = trainer.put_batch(batches[0])
+
+    if args.stage != "components":
+        # ---- e2e streamed (one variant per process: fresh relay state) ----
+        # Manual chunked loop instead of Trainer.fit so a mid-run relay
+        # failure (sustained streamed put+step at b8192 can kill the axon
+        # relay after ~100 transfers — INVALID_ARGUMENT at an arbitrary
+        # later dispatch; r4's b4096 500-step CLI drive was fine) still
+        # yields a measured rate over the completed chunks.
+        from recommender_tpu.data.pipeline import prefetch_to_device
+
+        if args.stage == "e2e_w1":
+            train_iter = prefetch_to_device(
+                shard_batches(paths, bs, seed=1, epochs=None), size=2)
+        elif args.stage == "e2e_w2":
+            train_iter = interleave_ordered(
+                [shard_batches(paths[w::2], bs, seed=2 + w, epochs=None)
+                 for w in range(2)], size=2)
+        else:  # e2e_nopf: serialized host+put+step — the sum of the terms
+            train_iter = shard_batches(paths, bs, seed=4, epochs=None)
+        chunk, chunks = 10, []
+        try:
+            for _ in range(5):  # warmup/compile
+                state, m = trainer._train_step(
+                    state, trainer.put_batch(next(train_iter)), rng)
+            float(m["loss"])
+            for _ in range(steps // chunk):
+                t0 = time.perf_counter()
+                for _ in range(chunk):
+                    state, m = trainer._train_step(
+                        state, trainer.put_batch(next(train_iter)), rng)
+                float(m["loss"])  # sync each chunk
+                chunks.append(time.perf_counter() - t0)
+        except Exception as e:
+            log(stage=f"e2e_stream_{args.stage[4:]}_error",
+                after_chunks=len(chunks), error=f"{type(e).__name__}: {e}"[:160])
+        if chunks:
+            per = np.array(chunks) / chunk
+            log(stage=f"e2e_stream_{args.stage[4:]}", batch=bs,
+                ms_per_step=round(float(np.median(per)) * 1e3, 2),
+                ex_per_s=round(bs / float(np.median(per))),
+                chunks=len(chunks),
+                ms_spread=[round(float(c / chunk * 1e3), 1) for c in chunks])
+        return
+
+    # ---- 4. device step (resident batch) ----------------------------------
+    for _ in range(10):
+        state, metrics = trainer._train_step(state, resident, rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = trainer._train_step(state, resident, rng)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    dev_ms = dt * 1e3 / steps
+    log(stage="device_step", ms=round(dev_ms, 2),
+        ex_per_s=round(BATCH * steps / dt))
+
+    # ---- 5. h2d put microbenchmark (LAST in this process: ~40 rapid-fire
+    # synced puts can leave the relay's dispatch path failing
+    # INVALID_ARGUMENT for the rest of the process — observed r5) ----------
     put = [trainer.put_batch(b) for b in batches[:2]]  # warm the path
     float(touch(put[-1]))
     t0 = time.perf_counter()
@@ -148,50 +245,6 @@ def main():
     dt = time.perf_counter() - t0
     log(stage="h2d_put_pipelined", ms_per_batch=round(dt * 1e3 / min(20, n_b), 2),
         mb_s=round(min(20, n_b) * BATCH * bytes_per_row / 2**20 / dt, 1))
-
-    # ---- 5. device step (resident batch) ----------------------------------
-    rng = jax.random.PRNGKey(0)
-    resident = trainer.put_batch(batches[0])
-    for _ in range(10):
-        state, metrics = trainer._train_step(state, resident, rng)
-    float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = trainer._train_step(state, resident, rng)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    dev_ms = dt * 1e3 / steps
-    log(stage="device_step", ms=round(dev_ms, 2),
-        ex_per_s=round(BATCH * steps / dt))
-
-    # ---- 6. e2e streamed --------------------------------------------------
-    def run_e2e(tag, train_iter, prefetch):
-        nonlocal state
-        state, _ = trainer.fit(state, train_iter, steps=5, prefetch=prefetch)
-        s2, m = trainer._train_step(state, resident, rng)
-        float(m["loss"])  # drain the queue before timing
-        t0 = time.perf_counter()
-        state, _ = trainer.fit(state, train_iter, steps=steps, prefetch=prefetch)
-        s2, m = trainer._train_step(state, resident, rng)
-        float(m["loss"])
-        dt = time.perf_counter() - t0
-        log(stage=tag, ms_per_step=round(dt * 1e3 / (steps + 1), 2),
-            ex_per_s=round(BATCH * (steps + 1) / dt))
-
-    run_e2e("e2e_stream_w1", shard_batches(paths, BATCH, seed=1, epochs=None),
-            prefetch=2)
-    run_e2e(
-        "e2e_stream_w2",
-        interleave_ordered(
-            [shard_batches(paths[w::2], BATCH, seed=2 + w, epochs=None)
-             for w in range(2)],
-            size=2,
-        ),
-        prefetch=0,
-    )
-    # no-prefetch control: serialized host+put+step — the sum of the terms
-    run_e2e("e2e_stream_noprefetch",
-            shard_batches(paths, BATCH, seed=4, epochs=None), prefetch=0)
 
     log(stage="budget_note",
         device_ms=round(dev_ms, 2),
