@@ -97,3 +97,56 @@ def test_cli_embed_dtype_bf16(capsys, devices8):
     ])
     out = capsys.readouterr().out
     assert '"final"' in out and "nan" not in out
+
+
+def _write_tiny_shards(tmp_path, n_shards=2, rows=192, vocab_ids=100):
+    import pickle
+
+    import numpy as np
+
+    from recommender_tpu.data.synthetic import SyntheticCTR
+
+    gen = SyntheticCTR(vocab_size=vocab_ids, seed=0)
+    data_dir = tmp_path / "shards"
+    data_dir.mkdir()
+    for i in range(n_shards):
+        np.savez(data_dir / f"shard_{i:05d}.npz", **gen.sample(rows, seed=i))
+    vocab_path = tmp_path / "vocab.pkl"
+    with open(vocab_path, "wb") as f:
+        pickle.dump({f"v{i}": i + 1 for i in range(vocab_ids - 1)}, f)
+    return data_dir, vocab_path
+
+
+def test_cli_prefetch_workers_needs_enough_shards(tmp_path, devices8):
+    """--prefetch_workers W with fewer than W shards fails fast with a
+    clear message instead of spawning starved workers."""
+    import pytest
+
+    from recommender_tpu.cli.train_ctr import main
+
+    data_dir, vocab_path = _write_tiny_shards(tmp_path, n_shards=1)
+    with pytest.raises(SystemExit, match="prefetch_workers"):
+        main([
+            "--data_dir", str(data_dir), "--vocab", str(vocab_path),
+            "--steps", "2", "--train_batch_size", "64",
+            "--vocab_size", "128", "--embedding_size", "8",
+            "--eval_every", "0", "--log_every", "10",
+            "--prefetch_workers", "4",
+        ])
+
+
+def test_cli_vocab_size_auto_raised(tmp_path, capsys, devices8):
+    """A loaded vocab larger than --vocab_size raises the table size
+    (ids are 1..len(vocab); a smaller table would alias high ids) and
+    logs the adjustment."""
+    from recommender_tpu.cli.train_ctr import main
+
+    data_dir, vocab_path = _write_tiny_shards(tmp_path, vocab_ids=100)
+    main([
+        "--data_dir", str(data_dir), "--vocab", str(vocab_path),
+        "--steps", "3", "--train_batch_size", "64",
+        "--vocab_size", "16",  # deliberately smaller than the 99-entry vocab
+        "--embedding_size", "8", "--eval_every", "0", "--log_every", "10",
+    ])
+    out = capsys.readouterr().out
+    assert '"vocab_size_raised": 100' in out
