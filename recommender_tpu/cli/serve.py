@@ -34,8 +34,15 @@ def main(argv=None):
     ap.add_argument("--recall_target", type=float, default=0.95,
                     help="approx_max_k per-call recall target (ignored "
                          "with --exact)")
+    ap.add_argument("--probes", type=int, default=0,
+                    help="IVF clustered serving: score only this many "
+                         "probed buckets (+ spill) per query instead of "
+                         "the full corpus — needs a bundle exported with "
+                         "ivf_clusters (retrieval/ivf.py); the small-Q "
+                         "latency lever at large corpora")
     args = ap.parse_args(argv)
-    topk_kw = dict(exact=args.exact, recall_target=args.recall_target)
+    topk_kw = dict(exact=args.exact, recall_target=args.recall_target,
+                   probes=args.probes)
 
     bundle = load_serving_bundle(args.bundle)
     n = len(bundle.get("item_reprs", bundle.get("item_reprs_int8", [])))
@@ -44,9 +51,9 @@ def main(argv=None):
     # batch would re-transfer the corpus through the relay every call)
     import jax.numpy as jnp
 
-    for key in ("item_reprs", "item_reprs_int8", "item_scale"):
-        if key in bundle:
-            bundle[key] = jnp.asarray(bundle[key])
+    for key, v in list(bundle.items()):
+        if key != "metadata":
+            bundle[key] = jnp.asarray(v)
     if args.all:
         recs = np.concatenate(
             [

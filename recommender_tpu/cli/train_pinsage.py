@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--export_int8", action="store_true",
                    help="quantize the exported corpus to int8 + per-row "
                         "scales (4x smaller bundle, int8-MXU serving path)")
+    p.add_argument("--export_ivf_clusters", type=int, default=0,
+                   help="also pack an IVF index (k-means buckets + spill) "
+                        "into the bundle; cli/serve --probes N then serves "
+                        "the clustered small-Q latency path")
     p.set_defaults(train_batch_size=32)
     args = p.parse_args(argv)
     host_id, num_hosts = setup_distributed(args)  # before any device use
@@ -120,6 +124,7 @@ def main(argv=None):
             args.export, reprs, nbr, w,
             metadata={"model": "pinsage", "conv_out": args.conv_output_size},
             quantize=args.export_int8,
+            ivf_clusters=args.export_ivf_clusters,
         )
         log({"exported": args.export})
     if args.checkpoint_dir:

@@ -29,11 +29,19 @@ def export_serving_bundle(
     neighbor_weights: np.ndarray | None = None,
     metadata: dict | None = None,
     quantize: bool = False,
+    ivf_clusters: int = 0,
+    ivf_capacity_factor: float = 1.5,
 ):
     """``quantize=True`` stores the corpus int8 + per-row f32 scales
     (retrieval.quantize) instead of f32 reprs: ~4x smaller bundle and the
     int8-MXU serving path in ``serve_topk`` (measured throughput/recall in
-    benchmarks/exp_int8_retrieval.py / RESULTS.md r4)."""
+    benchmarks/exp_int8_retrieval.py / RESULTS.md r4).
+
+    ``ivf_clusters > 0`` additionally packs an IVF index
+    (retrieval.ivf: on-device k-means, padded capacity buckets + spill)
+    into the bundle; ``serve_topk(..., probes=N)`` then serves through the
+    clustered path — the small-Q latency lever at large corpora
+    (benchmarks/exp_ivf.py)."""
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     if quantize:
@@ -43,6 +51,15 @@ def export_serving_bundle(
         arrays = {"item_reprs_int8": q, "item_scale": scale}
     else:
         arrays = {"item_reprs": np.asarray(item_reprs, np.float32)}
+    if ivf_clusters > 0:
+        import dataclasses
+
+        from recommender_tpu.retrieval.ivf import build_ivf
+
+        index = build_ivf(np.asarray(item_reprs, np.float32), ivf_clusters,
+                          capacity_factor=ivf_capacity_factor)
+        for f in dataclasses.fields(index):
+            arrays[f"ivf_{f.name}"] = getattr(index, f.name)
     if neighbor_ids is not None:
         arrays["neighbor_ids"] = np.asarray(neighbor_ids, np.int32)
         arrays["neighbor_weights"] = np.asarray(neighbor_weights, np.float32)
@@ -60,7 +77,8 @@ def load_serving_bundle(path: str) -> dict:
 
 
 def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10,
-               exact: bool = False, recall_target: float = 0.95) -> np.ndarray:
+               exact: bool = False, recall_target: float = 0.95,
+               probes: int = 0) -> np.ndarray:
     """Item-to-item retrieval from an exported bundle: [Q] ids → [Q, k] ids.
 
     Dispatches on the bundle contents: an int8 bundle (``quantize=True``
@@ -69,10 +87,22 @@ def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10,
     partial reduce that fuses into the scoring matmul; 19–23× over the
     exact sort at V=2M, D=128 — retrieval/quantize.py, RESULTS.md r4);
     ``exact=True`` restores the full sort (bit-exact order; off-TPU
-    backends compile approx_max_k to the exact reduction anyway)."""
+    backends compile approx_max_k to the exact reduction anyway).
+
+    ``probes > 0`` (bundle exported with ``ivf_clusters``): serve through
+    the IVF clustered path — scores only the probed buckets + spill
+    instead of streaming the whole corpus; the small-Q latency lever
+    (recall dial = probes)."""
     import jax
     import jax.numpy as jnp
 
+    if probes > 0:
+        if "ivf_centroids" not in bundle:
+            raise ValueError(
+                "probes > 0 needs an IVF bundle — export with "
+                "export_serving_bundle(..., ivf_clusters=N)"
+            )
+        return _serve_ivf(bundle, np.asarray(query_item_ids), k, probes)
     if "item_reprs_int8" in bundle:
         from recommender_tpu.retrieval.quantize import topk_quantized
 
@@ -88,6 +118,33 @@ def serve_topk(bundle: dict, query_item_ids: np.ndarray, k: int = 10,
         jnp.asarray(bundle["item_reprs"]), jnp.asarray(query_item_ids),
         k=k, exact=exact, recall_target=recall_target,
     ))
+
+
+def _serve_ivf(bundle: dict, ids: np.ndarray, k: int, probes: int) -> np.ndarray:
+    """IVF serving path: query reprs looked up from the flat corpus
+    (dequantized if int8), self excluded by over-fetch (same scatter-free
+    pattern as every other exclusion here)."""
+    import jax.numpy as jnp
+
+    from recommender_tpu.retrieval.ivf import IVFIndex, search_ivf
+    from recommender_tpu.retrieval.quantize import _drop_excluded
+
+    index = IVFIndex(**{
+        k_[4:]: bundle[k_] for k_ in (
+            "ivf_centroids", "ivf_bucket_ids", "ivf_bucket_q",
+            "ivf_bucket_scale", "ivf_spill_ids", "ivf_spill_q",
+            "ivf_spill_scale",
+        )
+    })
+    if "item_reprs" in bundle:
+        q = jnp.asarray(bundle["item_reprs"])[jnp.asarray(ids)]
+    else:
+        rows = jnp.asarray(bundle["item_reprs_int8"])[jnp.asarray(ids)]
+        q = rows.astype(jnp.float32) * jnp.asarray(
+            bundle["item_scale"])[jnp.asarray(ids)][:, None]
+    cand, _ = search_ivf(index, q, k=k + 1, probes=probes)
+    return np.asarray(_drop_excluded(
+        jnp.asarray(cand), jnp.asarray(ids)[:, None], k))
 
 
 _TOPK_F32 = None  # built on first use (keeps `import export` jax-free)

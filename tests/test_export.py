@@ -225,3 +225,54 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 3
     assert s["mean_ms"] >= 0
+
+
+def test_ivf_bundle_roundtrip_and_serve(tmp_path):
+    """ivf_clusters export → load → serve_topk(probes=) matches the
+    brute-force serve on clustered reprs, excludes self, and falls back
+    loudly when probes is requested without an IVF bundle."""
+    import pytest
+
+    rng = np.random.default_rng(21)
+    C, per, D = 12, 50, 16
+    centers = rng.normal(size=(C, D)) * 3
+    reprs = (centers.repeat(per, axis=0)
+             + rng.normal(size=(C * per, D)) * 0.3).astype(np.float32)
+    p = tmp_path / "ivf.npz"
+    export_serving_bundle(str(p), reprs, metadata={"model": "pinsage"},
+                          quantize=True, ivf_clusters=C)
+    b = load_serving_bundle(str(p))
+    assert "ivf_centroids" in b and b["ivf_bucket_q"].dtype == np.int8
+
+    q_ids = np.arange(0, C * per, 13)
+    recs_ivf = serve_topk(b, q_ids, k=8, probes=4)
+    recs_brute = serve_topk(b, q_ids, k=8, exact=True)
+    assert recs_ivf.shape == (len(q_ids), 8)
+    for i, qid in enumerate(q_ids):
+        assert qid not in recs_ivf[i]  # self excluded
+    # probing 4 of 12 well-separated clusters recovers the brute top-8
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b_.tolist())) / 8
+        for a, b_ in zip(recs_ivf, recs_brute)
+    ])
+    assert overlap >= 0.9, overlap
+
+    pf = tmp_path / "flat.npz"
+    export_serving_bundle(str(pf), reprs, quantize=True)
+    with pytest.raises(ValueError, match="ivf"):
+        serve_topk(load_serving_bundle(str(pf)), q_ids, k=8, probes=4)
+
+
+def test_ivf_serve_cli_flags(tmp_path, capsys):
+    """cli/serve --probes drives the IVF path end-to-end."""
+    from recommender_tpu.cli.serve import main
+
+    rng = np.random.default_rng(22)
+    reprs = rng.normal(size=(300, 8)).astype(np.float32)
+    p = tmp_path / "b.npz"
+    export_serving_bundle(str(p), reprs, quantize=True, ivf_clusters=6)
+    recs = main(["--bundle", str(p), "--items", "3,17,42", "--top_k", "5",
+                 "--probes", "6"])
+    assert recs.shape == (3, 5)
+    out = capsys.readouterr().out
+    assert '"item": 3' in out
