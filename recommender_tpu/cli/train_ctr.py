@@ -284,6 +284,8 @@ def main(argv=None):
         # wrapping it again would just add a passthrough thread
         prefetch=0 if (args.data_dir and args.prefetch_workers > 1) else 2,
     )
+    if hasattr(train_iter, "close"):
+        train_iter.close()  # stop interleave worker threads promptly
     if eval_iter_fn is not None:
         log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches, exact=True)})
     if args.checkpoint_dir:

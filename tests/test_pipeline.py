@@ -134,3 +134,23 @@ def test_interleave_ordered_uneven_exhaustion():
 
     out = list(interleave_ordered([iter([1, 2]), iter([10, 20, 30, 40])]))
     assert out == [1, 10, 2, 20, 30, 40]
+
+
+def test_interleave_ordered_propagates_producer_error():
+    """A worker iterator that raises surfaces the error to the consumer
+    (via the underlying Prefetcher's fail-loud contract) instead of
+    silently truncating the merged stream."""
+    import pytest
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    from recommender_tpu.data.pipeline import interleave_ordered
+
+    it = interleave_ordered([iter([10, 20, 30]), bad()])
+    got = [next(it), next(it)]
+    assert got == [10, 1]
+    with pytest.raises(RuntimeError, match="prefetch producer failed"):
+        for _ in range(10):
+            next(it)
