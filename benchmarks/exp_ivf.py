@@ -10,7 +10,11 @@ crossover.
 
 Run: python -u benchmarks/exp_ivf.py [--quick]
 (kmeans build pushes the f32 corpus through the relay once — a few
-minutes of setup; measurement loops are float()-synced throughput mode.)
+minutes of setup; measurement loops are float()-synced throughput mode.
+The corpus is deliberately HOST-generated despite the CLAUDE.md
+device-generation rule: build_ivf's bucket packing is host-side numpy,
+so the rows must exist on the host either way — the relay crossing is
+inherent to the build path, paid once, and outside the timed loops.)
 """
 import argparse
 import dataclasses

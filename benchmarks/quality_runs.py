@@ -492,15 +492,22 @@ def run_pinsage(steps=6000, seeds=(0,), eval_every=0):  # the reference's hit-ra
         # one trajectory (pinsage/train/logs/log.jpg, hit-rate curve peaks
         # ~step 6000) — reporting peak alongside final quantifies the
         # trajectory variance the final-only number hides (VERDICT r4 #4)
+        # segmented fits use prefetch=0: with the default Prefetcher each
+        # segment boundary would drop a TIMING-DEPENDENT 1-3 queued
+        # batches (fit over-pulls one batch at the break; close() discards
+        # the queue), making trajectories irreproducible; prefetch=0 makes
+        # the per-segment over-pull exactly one batch, deterministic
+        # (advisor r5 — iid sampler stream, so the dropped batches only
+        # ever added noise, not bias)
         traj = []
         if eval_every:
             for _ in range(max(steps // eval_every, 1)):
-                state, _ = tr.fit(state, it, steps=eval_every)
-                traj.append(corpus_hr(state.params)[0])
+                state, _ = tr.fit(state, it, steps=eval_every, prefetch=0)
+                hr, reprs = corpus_hr(state.params)
+                traj.append(hr)
         else:
             state, _ = tr.fit(state, it, steps=steps)
-        hr, reprs = corpus_hr(state.params)
-        if not traj:
+            hr, reprs = corpus_hr(state.params)
             traj = [hr]
         peak = max(traj)
         qr, sc = quantize_reprs(reprs)

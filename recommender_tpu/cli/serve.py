@@ -51,9 +51,23 @@ def main(argv=None):
     # batch would re-transfer the corpus through the relay every call)
     import jax.numpy as jnp
 
+    # only the arrays the serving path reads: bundles also carry neighbor
+    # tables that would pointlessly cross the (slow) host->device link
     for key, v in list(bundle.items()):
-        if key != "metadata":
+        if key in ("item_reprs", "item_reprs_int8", "item_scale") or \
+                key.startswith("ivf_"):
             bundle[key] = jnp.asarray(v)
+    if args.probes > 0 and "ivf_bucket_ids" in bundle:
+        # the IVF candidate gather materializes [Q, probes, cap, D]; cap
+        # the per-dispatch size the same way exp_ivf.py's grid does
+        # (Q=512 x P=32 OOM'd the 16 GB chip)
+        cap, d = bundle["ivf_bucket_q"].shape[1], bundle["ivf_bucket_q"].shape[2]
+        limit = (1536 << 20) // max(args.probes * cap * d, 1)
+        if args.batch_size > limit:
+            print(json.dumps({"batch_size_capped": limit,
+                              "was": args.batch_size,
+                              "reason": "ivf candidate gather > 1.5GB"}))
+            args.batch_size = max(limit, 1)
     if args.all:
         recs = np.concatenate(
             [

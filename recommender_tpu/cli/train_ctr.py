@@ -86,7 +86,11 @@ def main(argv=None):
     # when single-process
     train_bs = host_batch_size(args.train_batch_size)
     test_bs = host_batch_size(args.test_batch_size)
-    if args.synthetic or not args.data_dir:
+    # one predicate for every branch that depends on the stream kind
+    # (--synthetic with a stray --data_dir previously disagreed between
+    # the data branch and the prefetch gate — advisor r5)
+    streamed = bool(args.data_dir) and not args.synthetic
+    if not streamed:
         gen = SyntheticCTR(vocab_size=args.vocab_size, seed=args.seed)
         train_arrays = host_local_data(
             gen.sample(max(args.steps, 100) * args.train_batch_size // 4, seed=1)
@@ -139,6 +143,30 @@ def main(argv=None):
             train_iter = interleave_ordered(_worker_streams(), size=2)
         else:
             train_iter = shard_batches(shards, train_bs, seed=args.seed, epochs=None)
+        if args.checkpoint_dir:
+            # the merged stream is a FUNCTION of (workers, seed, shard
+            # count): resuming with different values would silently train
+            # on an unrelated stream (advisor r5) — pin them in a sidecar
+            import json as _json
+            import os as _os
+
+            meta_path = _os.path.join(args.checkpoint_dir, "data_stream.json")
+            meta = {"prefetch_workers": W, "seed": args.seed,
+                    "num_shards": len(shards)}
+            if args.resume and _os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    old = _json.load(f)
+                if old != meta:
+                    raise SystemExit(
+                        f"--resume data-stream config mismatch: checkpoint "
+                        f"was written with {old}, current flags give {meta} "
+                        "— the striped stream is a function of these; "
+                        "resume with matching flags"
+                    )
+            else:
+                _os.makedirs(args.checkpoint_dir, exist_ok=True)
+                with open(meta_path, "w") as f:
+                    _json.dump(meta, f)
         test_arrays = load_shards(test_shards) if test_shards else None
         if test_arrays is not None:
             test_arrays = host_local_data(test_arrays)
@@ -218,7 +246,7 @@ def main(argv=None):
         # the example batch init consumed from the fresh stream) — BOTH
         # branches: the on-disk shard stream fast-forwards by header-read
         # arithmetic (shard_batches(start_batch=), VERDICT r4 #2)
-        if args.synthetic or not args.data_dir:
+        if not streamed:
             train_iter = batch_iterator(
                 train_arrays, train_bs, seed=args.seed,
                 epochs=None, start_batch=int(state.step) + 1,
@@ -282,10 +310,15 @@ def main(argv=None):
         log_fn=log,
         # interleave_ordered already runs one prefetch thread per worker —
         # wrapping it again would just add a passthrough thread
-        prefetch=0 if (args.data_dir and args.prefetch_workers > 1) else 2,
+        prefetch=0 if (streamed and args.prefetch_workers > 1) else 2,
     )
-    if hasattr(train_iter, "close"):
-        train_iter.close()  # stop interleave worker threads promptly
+    if streamed and args.prefetch_workers > 1:
+        # stop the interleave worker threads promptly. ONLY this case: the
+        # interleave generator is consumed by fit's own thread (prefetch=0
+        # above), so close() here is safe — a W=1 generator is still held
+        # by fit's Prefetcher producer THREAD and closing it from here
+        # races ("generator already executing")
+        train_iter.close()
     if eval_iter_fn is not None:
         log({"final": 1, **trainer.evaluate(state, eval_iter_fn(), args.eval_batches, exact=True)})
     if args.checkpoint_dir:

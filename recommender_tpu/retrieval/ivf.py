@@ -268,10 +268,18 @@ def search_ivf(index: IVFIndex, queries: np.ndarray, k: int = 10,
     """[Q, D] f32 queries → ([Q, k] item ids, [Q, k] scores).
 
     ``probes`` is the recall/traffic dial: candidates = probes × cap +
-    spill. ``exact_reduce`` keeps the final small top-k exact (the
-    candidate list is tiny; approx only pays on the full corpus)."""
+    spill; values above the cluster count clamp to it (probes == C is
+    exhaustive — the int8-brute ranking). ``exact_reduce`` keeps the
+    final small top-k exact (the candidate list is tiny; approx only
+    pays on the full corpus).
+
+    When the probed buckets + spill hold fewer than ``k`` real items,
+    the tail of a row is the ``-1`` no-candidate sentinel (with -inf
+    score) — callers must treat -1 as "no result", the repo-wide pad
+    convention, not as item 0."""
     return _search(
         index.centroids, index.bucket_ids, index.bucket_q,
         index.bucket_scale, index.spill_ids, index.spill_q,
-        index.spill_scale, queries, k=k, probes=probes, exact=exact_reduce,
+        index.spill_scale, queries, k=k,
+        probes=min(probes, index.num_clusters), exact=exact_reduce,
     )

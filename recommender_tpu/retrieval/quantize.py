@@ -159,12 +159,22 @@ def topk_quantized(
 
 def _drop_excluded(idx, excluded, k):
     """[Q, k+pad] candidate ids → first ``k`` per row not in ``excluded``
-    ([Q, E]). Score order is preserved (stable argsort on the keep flag).
+    ([Q, E]). Always returns width ``k``: a candidate list narrower than
+    ``k`` (over-fetch clamped to a corpus smaller than k) is padded with
+    the ``-1`` no-candidate sentinel, which sorts after real kept ids but
+    before excluded ones — the output shape contract never silently
+    shrinks (advisor r5). Score order is preserved (stable argsort on
+    the keep flag).
     The SCATTER-free exclusion pattern: masking the [Q, V] score matrix
     with ``.at[rows, ids].set(-inf)`` breaks XLA's matmul→reduction fusion
     and materializes the full score matrix (131 GB at Q=16k, V=2M — found
     by OOM driving cli/serve --all); over-fetching k+E candidates keeps
     the scoring fused and filters on the tiny candidate list instead."""
+    if idx.shape[1] < k:
+        idx = jnp.concatenate(
+            [idx, jnp.full((idx.shape[0], k - idx.shape[1]), -1, idx.dtype)],
+            axis=1,
+        )
     keep = ~(idx[:, :, None] == excluded[:, None, :]).any(-1)
     order = jnp.argsort(~keep, axis=1, stable=True)
     return jnp.take_along_axis(idx, order[:, :k], axis=1)

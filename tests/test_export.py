@@ -276,3 +276,29 @@ def test_ivf_serve_cli_flags(tmp_path, capsys):
     assert recs.shape == (3, 5)
     out = capsys.readouterr().out
     assert '"item": 3' in out
+
+
+def test_drop_excluded_pads_output_to_k():
+    """Corpus smaller than k: the exclusion filter pads with -1 instead of
+    silently shrinking the [Q, k] output contract (advisor r5)."""
+    import jax.numpy as jnp
+
+    from recommender_tpu.retrieval.quantize import _drop_excluded
+
+    idx = jnp.asarray([[2, 0, 1], [1, 2, 0]], jnp.int32)  # width 3 < k=5
+    out = np.asarray(_drop_excluded(idx, jnp.asarray([[0], [9]]), 5))
+    assert out.shape == (2, 5)
+    assert out[0].tolist()[:2] == [2, 1]        # excluded 0 dropped
+    assert out[0].tolist()[2:4] == [-1, -1]     # sentinel before excluded
+    assert out[1].tolist()[:3] == [1, 2, 0]     # nothing excluded
+
+    # end-to-end: serve on a 4-item corpus with k=10 keeps width 10
+    rng = np.random.default_rng(30)
+    b = {"item_reprs": rng.normal(size=(4, 8)).astype(np.float32)}
+    recs = serve_topk(b, np.arange(4), k=10, exact=True)
+    assert recs.shape == (4, 10)
+    for i in range(4):
+        assert i not in recs[i][:3]
+        # documented order: real kept ids, then -1 sentinels, then (only
+        # when the row runs out of everything else) excluded ids
+        assert (recs[i][3:9] == -1).all()

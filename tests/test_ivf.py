@@ -154,3 +154,26 @@ def test_kmeans_chunked_pad_rows_are_inert():
     np.testing.assert_array_equal(
         assign_clusters(cent, reprs, chunk_rows=128), sim.argmax(1)
     )
+
+
+def test_search_pads_with_sentinel_when_candidates_short():
+    """Fewer real candidates than k: rows fill with the -1 no-candidate
+    sentinel (repo pad convention) instead of fabricating items."""
+    reprs = _clustered(V=40, D=8, C=2, seed=13)
+    idx = build_ivf(reprs, num_clusters=2, capacity_factor=2.0, seed=13)
+    got, scores = search_ivf(idx, reprs[:4], k=60, probes=2)
+    got = np.asarray(got)
+    assert got.shape == (4, 60)
+    for row in got:
+        real = row[row >= 0]
+        assert len(np.unique(real)) == len(real)  # real ids unique
+        assert (row[len(real):] == -1).all()  # sentinel tail
+
+
+def test_probes_clamped_to_cluster_count():
+    """probes > C clamps instead of failing inside lax.top_k."""
+    reprs = _clustered(V=200, D=8, C=4, seed=14)
+    idx = build_ivf(reprs, num_clusters=4, seed=14)
+    got, _ = search_ivf(idx, reprs[:3], k=5, probes=99)
+    got2, _ = search_ivf(idx, reprs[:3], k=5, probes=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
