@@ -532,9 +532,13 @@ def run_eges_band(steps=16000):
     run_eges(steps, seeds=(0, 1, 2))
 
 
-def run_pinsage_band(steps=6000):
-    # 8 seeds (VERDICT r4 #4: >=5), eval cadence 1000 for peak-reporting
-    run_pinsage(steps, seeds=tuple(range(8)), eval_every=1000)
+def run_pinsage_band(steps=12000):
+    # 8 seeds (VERDICT r4 #4: >=5), eval cadence 2000 for peak-reporting.
+    # 12k steps = 2x the reference's peak-at-6000 horizon: the r5 6k-step
+    # trajectories were still RISING at 6000 for 7/8 seeds, so the band is
+    # measured to the plateau (the step-6000 trajectory point stays
+    # directly comparable to the reference's protocol).
+    run_pinsage(steps, seeds=tuple(range(8)), eval_every=2000)
 
 
 if __name__ == "__main__":

@@ -314,3 +314,38 @@ def test_cli_interrupt_resume_on_disk_shards(tmp_path, capsys, devices8, workers
 
     assert abs(a["eval_loss"] - b["eval_loss"]) < 1e-6
     assert abs(a["eval_auc"] - b["eval_auc"]) < 1e-6
+
+
+def test_cli_resume_rejects_changed_stream_config(tmp_path, capsys, devices8):
+    """--resume with a different --prefetch_workers (or seed) than the
+    original run fails loudly: the striped multi-worker stream is a
+    function of those values, so silently resuming on different striping
+    would train on an unrelated stream (advisor r5)."""
+    import pickle
+
+    from recommender_tpu.cli.train_ctr import main
+
+    gen = SyntheticCTR(vocab_size=128, seed=0)
+    data_dir = tmp_path / "shards"
+    data_dir.mkdir()
+    for i in range(2):
+        np.savez(data_dir / f"shard_{i:05d}.npz", **gen.sample(256, seed=i))
+    vocab_path = tmp_path / "vocab.pkl"
+    with open(vocab_path, "wb") as f:
+        pickle.dump({f"v{i}": i + 1 for i in range(50)}, f)
+    ckpt = str(tmp_path / "ck")
+    base = [
+        "--data_dir", str(data_dir), "--vocab", str(vocab_path),
+        "--train_batch_size", "64", "--vocab_size", "128",
+        "--embedding_size", "8", "--eval_every", "0", "--log_every", "100",
+        "--checkpoint_dir", ckpt,
+    ]
+    main(base + ["--steps", "2", "--seed", "3", "--prefetch_workers", "2"])
+    capsys.readouterr()
+    for bad in (["--seed", "3", "--prefetch_workers", "1"],
+                ["--seed", "4", "--prefetch_workers", "2"]):
+        with pytest.raises(SystemExit, match="stream config mismatch"):
+            main(base + ["--steps", "2", "--resume"] + bad)
+    # matching flags resume fine
+    main(base + ["--steps", "2", "--seed", "3", "--prefetch_workers", "2",
+                 "--resume"])
