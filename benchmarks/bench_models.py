@@ -92,6 +92,27 @@ def bench_deepfm():
         report(f"deepfm_criteo_b8192{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
+def bench_dcn():
+    from recommender_tpu.data.synthetic import SyntheticCTR
+    from recommender_tpu.models.dcn import DCN
+
+    B = 8192
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    gen = SyntheticCTR(vocab_size=1_000_000, seed=0)
+    host = gen.sample(B, seed=1)
+    for tag, dtype in (("", None), ("_bf16sr", "bf16")):
+        import jax.numpy as jnp
+
+        model = DCN(
+            vocab_size=1_000_000, embed_dim=16,
+            embed_param_dtype=jnp.bfloat16 if dtype else jnp.float32,
+        )
+        loss_fn, eval_fn = make_ctr_task(model)
+        tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+        report(f"dcn_criteo_b8192{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
 def bench_dien(B=128, T=100, dtype=None, tag=""):
     # reference protocol: batch 128, history 100
     from recommender_tpu.data.synthetic import SyntheticSequence
@@ -106,6 +127,26 @@ def bench_dien(B=128, T=100, dtype=None, tag=""):
     tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
     state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
     report(f"dien_amazon_b{B}_T{T}{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
+
+
+def bench_bst(B=1024, T=100):
+    """BST at the dien_large shape — the no-scan transformer alternative:
+    the whole forward is batched MXU matmuls, so compare directly against
+    dien_amazon_b1024_T100 (the scan path)."""
+    from recommender_tpu.data.synthetic import SyntheticSequence
+    from recommender_tpu.models.bst import BST
+
+    gen = SyntheticSequence(num_items=400_000, num_cats=1500, max_len=T, seed=0)
+    host = gen.sample(B, seed=1)
+    host = {k: v for k, v in host.items() if not k.startswith("neg_")}
+    mesh = make_mesh(MeshSpec(len(jax.devices()), 1))
+    for tag, dtype in (("", None), ("_bf16sr", "bf16")):
+        model = BST(item_vocab=gen.num_items, cat_vocab=gen.num_cats,
+                    embed_param_dtype=jnp.bfloat16 if dtype else jnp.float32)
+        loss_fn, eval_fn = make_ctr_task(model)
+        tr = Trainer(loss_fn, TrainConfig(), mesh=mesh, eval_fn=eval_fn)
+        state = tr.init_state(lambda: init_model(model, {k: v[:8] for k, v in host.items()}))
+        report(f"bst_amazon_b{B}_T{T}{tag}", _bench_steps(tr, state, tr.put_batch(host)), B)
 
 
 def bench_dien_large():

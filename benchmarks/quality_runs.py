@@ -94,6 +94,16 @@ def run_deepfm_band(steps=3000):
     run_deepfm(steps, seeds=(0, 1, 2))
 
 
+def run_dcn(steps=3000, seeds=(0,)):
+    from recommender_tpu.models.dcn import DCN
+
+    _run_ctr_family("dcn", DCN, steps, seeds)
+
+
+def run_dcn_band(steps=3000):
+    run_dcn(steps, seeds=(0, 1, 2))
+
+
 def run_dien(steps=3000):
     from recommender_tpu.data.synthetic import SyntheticSequence
     from recommender_tpu.models.dien import DIEN, DIN, BaseModel
@@ -116,7 +126,7 @@ def run_dien(steps=3000):
         report(name, steps=steps, **ev)
 
 
-def run_dien_drift(steps=3000, seeds=(0, 1, 2)):
+def run_dien_drift(steps=3000, seeds=(0, 1, 2), only=None):
     """Discriminative sequence benchmark (VERDICT r3 #1): interest-DRIFT
     data where the label depends on history ORDER (recent-topic positives,
     stale-topic hard negatives — data/synthetic.py::SyntheticInterestDrift).
@@ -127,17 +137,25 @@ def run_dien_drift(steps=3000, seeds=(0, 1, 2)):
     rather than claimed from single-run deltas (the r3 retraction class).
     """
     from recommender_tpu.data.synthetic import SyntheticInterestDrift
+    from recommender_tpu.models.bst import BST
     from recommender_tpu.models.dien import DIEN, DIN, BaseModel
 
     gen = SyntheticInterestDrift(seed=0)
     test = gen.sample(50_000, seed=999)
     oracles = gen.oracle_aucs(test)
     report("drift_oracles", **oracles)
+    # BST rides the same ladder (r5): position-aware attention is the
+    # second order-reading mechanism — it must land with DIEN above the
+    # permutation-invariant poolers, certifying the transformer path
+    # learns order, not just co-occurrence
     for name, cls, task in (
         ("drift_base", BaseModel, make_ctr_task),
         ("drift_din", DIN, make_ctr_task),
         ("drift_dien", DIEN, make_aux_loss_task),
+        ("drift_bst", BST, make_ctr_task),
     ):
+        if only and name not in only:
+            continue
         aucs = []
         for s in seeds:
             train = gen.sample(400_000, seed=100 + s)
@@ -157,6 +175,12 @@ def run_dien_drift(steps=3000, seeds=(0, 1, 2)):
         report(name, steps=steps, auc_mean=float(np.mean(aucs)),
                auc_band=float(np.max(aucs) - np.min(aucs)),
                auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
+
+
+def run_drift_bst(steps=3000):
+    """BST-only rung of the drift ladder (the base/din/dien rows are
+    already banded — RESULTS.md r4)."""
+    run_dien_drift(steps, only=("drift_bst",))
 
 
 def run_dien_membership(steps=3000, seeds=(0, 1, 2)):

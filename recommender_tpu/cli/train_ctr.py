@@ -32,7 +32,10 @@ from recommender_tpu.parallel.partitioning import param_shardings
 
 def main(argv=None):
     p = base_parser("TPU CTR training (DLRM/DeepFM)")
-    p.add_argument("--model_type", choices=["DLRM", "DeepFM"], default="DLRM")
+    p.add_argument("--model_type", choices=["DLRM", "DeepFM", "DCN"],
+                   default="DLRM",
+                   help="DCN = DCNv2 cross network (beyond-reference "
+                        "third CTR interaction family, models/dcn.py)")
     p.add_argument("--vocab_size", type=int, default=1_000_000)
     p.add_argument("--embedding_size", type=int, default=16)
     p.add_argument("--data_dir", type=str, default="")
@@ -228,6 +231,11 @@ def main(argv=None):
         model = DLRM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
                      bottom_units=(512, 256, 64, args.embedding_size),
                      partition=partition, **lookup_kw)
+    elif args.model_type == "DCN":
+        from recommender_tpu.models.dcn import DCN
+
+        model = DCN(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
+                    partition=partition, **lookup_kw)
     else:
         model = DeepFM(vocab_size=args.vocab_size, embed_dim=args.embedding_size,
                        partition=partition, **lookup_kw)

@@ -23,10 +23,12 @@ from recommender_tpu.cli.common import (
 from recommender_tpu.data import amazon
 from recommender_tpu.data.pipeline import batch_iterator
 from recommender_tpu.data.synthetic import SyntheticSequence
+from recommender_tpu.models.bst import BST
 from recommender_tpu.models.dien import DIEN, DIN, BaseModel
 from recommender_tpu.models.tasks import init_model, make_aux_loss_task, make_ctr_task
 
-MODELS = {"BASE": BaseModel, "DIN": DIN, "DIEN": DIEN}
+# BST: beyond-reference transformer alternative to the recurrence
+MODELS = {"BASE": BaseModel, "DIN": DIN, "DIEN": DIEN, "BST": BST}
 
 
 def main(argv=None):
