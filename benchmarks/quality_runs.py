@@ -183,7 +183,7 @@ def run_drift_bst(steps=3000):
     run_dien_drift(steps, only=("drift_bst",))
 
 
-def run_dien_membership(steps=3000, seeds=(0, 1, 2)):
+def run_dien_membership(steps=3000, seeds=(0, 1, 2), only=None):
     """The DIN-over-BASE link of the ladder (VERDICT r3 #1): fine-grained
     SET MEMBERSHIP (data/synthetic.py::SyntheticMultiInterest). All three
     architectures share a perfect membership oracle; BASE is handicapped
@@ -194,6 +194,7 @@ def run_dien_membership(steps=3000, seeds=(0, 1, 2)):
     certify the full BASE < DIN < DIEN mechanism ladder with each link
     measured in the regime that isolates it."""
     from recommender_tpu.data.synthetic import SyntheticMultiInterest
+    from recommender_tpu.models.bst import BST
     from recommender_tpu.models.dien import DIEN, DIN, BaseModel
 
     gen = SyntheticMultiInterest(seed=0)
@@ -203,7 +204,10 @@ def run_dien_membership(steps=3000, seeds=(0, 1, 2)):
         ("membership_base", BaseModel, make_ctr_task),
         ("membership_din", DIN, make_ctr_task),
         ("membership_dien", DIEN, make_aux_loss_task),
+        ("membership_bst", BST, make_ctr_task),
     ):
+        if only and name not in only:
+            continue
         aucs = []
         for s in seeds:
             train = gen.sample(400_000, seed=100 + s)
@@ -223,6 +227,11 @@ def run_dien_membership(steps=3000, seeds=(0, 1, 2)):
         report(name, steps=steps, auc_mean=float(np.mean(aucs)),
                auc_band=float(np.max(aucs) - np.min(aucs)),
                auc_min=float(np.min(aucs)), auc_max=float(np.max(aucs)))
+
+
+def run_membership_bst(steps=3000):
+    """BST-only rung of the membership ladder (base/din/dien banded r4)."""
+    run_dien_membership(steps, only=("membership_bst",))
 
 
 def _train_base_protocol(gen, train, test, *, steps, seed=0, batch=1024,
@@ -549,6 +558,74 @@ def run_pinsage(steps=6000, seeds=(0,), eval_every=0):  # the reference's hit-ra
                peak_mean=float(np.mean(peaks)),
                peak_band=float(np.max(peaks) - np.min(peaks)),
                int8_mean=float(np.mean(hrs_q)),
+               int8_delta_mean=float(np.mean(np.array(hrs_q) - np.array(hrs))))
+
+
+def run_twotower(steps=6000, seeds=(0, 1, 2)):
+    """Two-tower retrieval on the SAME planted-community setup as the
+    PinSage band (6000 users x 3700 items, 32 communities, 85% intra) so
+    the two retrieval trainers' hit-rates are directly comparable; int8
+    serving neutrality certified per seed like PinSage (r5)."""
+    from recommender_tpu.data.movielens import ground_truth_matrix
+    from recommender_tpu.graph.bipartite import BipartiteGraph
+    from recommender_tpu.models.two_tower import (
+        TwoTower,
+        corpus_item_reprs,
+        interaction_batches,
+        make_two_tower_task,
+    )
+    from recommender_tpu.retrieval.eval import (
+        hit_rate,
+        recommend_topk_from_queries,
+    )
+    from recommender_tpu.retrieval.quantize import quantize_reprs
+
+    rng = np.random.default_rng(0)
+    U, V, C = 6000, 3700, 32
+    u_comm = rng.integers(0, C, U)
+    blocks = np.array_split(np.arange(V), C)
+    us, its = [], []
+    for u in range(U):
+        pool = blocks[u_comm[u]]
+        for _ in range(20):
+            it_ = int(rng.choice(pool)) if rng.random() < 0.85 else int(rng.integers(V))
+            us.append(u)
+            its.append(it_)
+    g = BipartiteGraph(us, its, U, V)
+    test_item = np.array([int(np.random.default_rng(u + 1).choice(blocks[u_comm[u]])) for u in range(U)])
+    seen = np.zeros((U, V), bool)
+    seen[np.asarray(us), np.asarray(its)] = True
+    gt = ground_truth_matrix(test_item, V)
+    import jax as _jax
+
+    hrs, hrs_q = [], []
+    for s_ in seeds:
+        model = TwoTower(user_vocab=U, item_vocab=V, embed_dim=32,
+                         repr_dim=32, tower_units=(64,))
+        loss_fn, eval_fn = make_two_tower_task(model)
+        tr = Trainer(loss_fn, TrainConfig(learning_rate=3e-3, log_every=10**9),
+                     mesh=mesh1(), eval_fn=eval_fn)
+        it = interaction_batches(g, 1024, seed=s_)
+        state = tr.init_state(lambda: init_model(model, next(it), seed=s_))
+        state, _ = tr.fit(state, it, steps=steps)
+        reprs = corpus_item_reprs(model, state.params, V)
+        uq = np.asarray(_jax.jit(
+            lambda p, u: model.apply({"params": p}, u, method=model.user_repr)
+        )(state.params, np.arange(U, dtype=np.int32)))
+        hr = hit_rate(recommend_topk_from_queries(uq, reprs, seen, k=10), gt)
+        qr, sc = quantize_reprs(reprs)
+        # int8 corpus + approx reduction: quantized queries against the
+        # quantized corpus via the f32-dequant path (queries stay f32)
+        deq = qr.astype(np.float32) * sc[:, None]
+        hr_q = hit_rate(
+            recommend_topk_from_queries(uq, deq, seen, k=10, exact=False), gt)
+        hrs.append(hr)
+        hrs_q.append(hr_q)
+        report(f"twotower_seed{s_}", steps=steps, hit_rate_at_10=hr,
+               hit_rate_int8=hr_q)
+    if len(seeds) > 1:
+        report("twotower", steps=steps, hr_mean=float(np.mean(hrs)),
+               hr_band=float(np.max(hrs) - np.min(hrs)),
                int8_delta_mean=float(np.mean(np.array(hrs_q) - np.array(hrs))))
 
 

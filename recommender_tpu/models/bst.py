@@ -32,8 +32,13 @@ from recommender_tpu.nn.transformer import TransformerBlock
 
 
 class BST(SequenceBase):
-    num_heads: int = 2
-    num_blocks: int = 1
+    # 2 blocks / 4 heads is the measured floor that passes BOTH mechanism
+    # ladders: 1 block saturates the drift (order) regime but is STUCK at
+    # 0.63 AUC on fine-grained membership (50 distractor categories) and
+    # degrades with more steps, while 2 blocks hit 1.0 by 3k steps —
+    # probe sweep in logs/bst_membership_probe_r5.log
+    num_heads: int = 4
+    num_blocks: int = 2
     ffn_mult: int = 4
     max_len: int = 512  # position table size; histories up to max_len-1
 

@@ -161,7 +161,8 @@ def recommend_topk(
     exact: bool = True,
     seen_format: str = "auto",
 ) -> np.ndarray:
-    """[U] users' latest item ids → [U, k] recommended items.
+    """[U] users' latest item ids → [U, k] recommended items (the PinSage
+    protocol: the query vector is the user's latest item's repr).
 
     ``seen``: items already interacted, excluded from recommendations —
     EITHER a [U, V] bool matrix (dense or scipy sparse; the quality-eval
@@ -173,33 +174,55 @@ def recommend_topk(
     ``mesh``: shard the user rows of each scoring batch over the ``data``
     axis (items replicated); the tail batch is padded up so it still
     shards evenly."""
+    queries = np.asarray(item_reprs)[np.asarray(latest_items)]
+    return recommend_topk_from_queries(
+        queries, item_reprs, seen, k=k, batch_size=batch_size, mesh=mesh,
+        exact=exact, seen_format=seen_format,
+    )
+
+
+def recommend_topk_from_queries(
+    query_reprs: np.ndarray,
+    item_reprs: np.ndarray,
+    seen: "np.ndarray | object",
+    k: int = 10,
+    batch_size: int = 1024,
+    mesh=None,
+    exact: bool = True,
+    seen_format: str = "auto",
+) -> np.ndarray:
+    """[U, D] arbitrary query vectors → [U, k] recommended items — the
+    general form behind ``recommend_topk``, used directly by dual-encoder
+    retrieval (the two-tower USER reprs are queries that are not any
+    item's repr). Same ``seen``/``mesh``/``exact`` contract."""
     item_reprs = jnp.asarray(item_reprs)
+    query_reprs = np.asarray(query_reprs)
     id_lists = resolve_seen_format(seen, item_reprs.shape[0], seen_format)
     if mesh is not None:
         item_reprs = jax.device_put(item_reprs, NamedSharding(mesh, P()))
     out = []
-    U = len(latest_items)
+    U = len(query_reprs)
     for s in range(0, U, batch_size):
         users = slice(s, min(s + batch_size, U))
-        latest = np.asarray(latest_items[users])
+        qb = query_reprs[users]
         seen_block = seen[users]
         if not id_lists:
             if hasattr(seen_block, "toarray"):
                 seen_block = seen_block.toarray()
             seen_block = np.asarray(seen_block, bool)
-        n_real = len(latest)
+        n_real = len(qb)
         if mesh is not None:
             ndata = mesh.shape["data"]
             pad = (-n_real) % ndata
             if pad:
-                latest = np.concatenate([latest, latest[:1].repeat(pad)])
+                qb = np.concatenate([qb, qb[:1].repeat(pad, axis=0)])
                 seen_block = np.concatenate(
                     [seen_block, seen_block[:1].repeat(pad, axis=0)]
                 )
-            q = _data_shard(item_reprs[jnp.asarray(latest)], mesh)
+            q = _data_shard(qb, mesh)
             mask = _data_shard(seen_block, mesh)
         else:
-            q = item_reprs[jnp.asarray(latest)]
+            q = jnp.asarray(qb)
             mask = jnp.asarray(seen_block)
         if id_lists:
             idx = _topk_scores_idmask(q, item_reprs, mask, k, exact)
