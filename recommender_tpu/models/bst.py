@@ -64,11 +64,11 @@ class BST(SequenceBase):
         valid = jnp.concatenate(
             [mask, jnp.ones((B, 1), jnp.float32)], axis=1)  # [B, T+1]
         x = seq + self.positions(jnp.arange(T + 1))[None]
-        # keys masked to valid positions; every query row may look (pad
-        # QUERIES produce garbage that the masked readout never reads)
-        attn_mask = valid[:, None, None, :].astype(bool)  # [B, 1, 1, T+1]
+        # keys masked to valid positions; pad QUERIES produce garbage that
+        # the masked readout never reads (nn/transformer.py contract —
+        # the block picks plain vs flash attention by L)
         for blk in self.blocks:
-            x = blk(x, attn_mask)
+            x = blk(x, valid)
         h_target = x[:, -1]
         pooled = masked_mean_pool(x[:, :-1], mask)
         return self.head(h_target, pooled, train)
